@@ -1,0 +1,129 @@
+"""Qwen2 LLM tower (GQA + SwiGLU + RMSNorm + M-RoPE) in functional JAX.
+
+Behavioral contract: transformers Qwen2VLTextModel. Layer params are stacked
+on a leading ``num_hidden_layers`` axis and run under ``lax.scan``; the KV
+cache is a static-shape [L, B, Smax, Hk, D] pair updated in place via
+dynamic_update_slice (donated by the engine for zero-copy streaming).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from livecc_tpu.core.config import TextConfig
+from livecc_tpu.ops.attention import causal_mask, kv_cache_mask, mha
+from livecc_tpu.ops.norms import rms_norm
+from livecc_tpu.ops.rope import apply_mrope, mrope_cos_sin
+
+Params = dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Static-size KV cache. ``offset`` = number of valid tokens."""
+
+    k: jnp.ndarray         # [L, B, Smax, Hk, D]
+    v: jnp.ndarray         # [L, B, Smax, Hk, D]
+    offset: jnp.ndarray    # int32 scalar
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @staticmethod
+    def zeros(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+
+
+def init_text_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    h, l, i = cfg.hidden_size, cfg.num_hidden_layers, cfg.intermediate_size
+    kvh, hd = cfg.num_key_value_heads, cfg.head_dim
+    ks = jax.random.split(key, 8)
+    init = lambda k, shape, fan_in: (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+    params = {
+        "embed": {"weight": init(ks[0], (cfg.vocab_size, h), h)},
+        "layers": {
+            "input_ln": jnp.ones((l, h), dtype),
+            "post_ln": jnp.ones((l, h), dtype),
+            "q_kernel": init(ks[1], (l, h, h), h), "q_bias": jnp.zeros((l, h), dtype),
+            "k_kernel": init(ks[2], (l, h, kvh * hd), h), "k_bias": jnp.zeros((l, kvh * hd), dtype),
+            "v_kernel": init(ks[3], (l, h, kvh * hd), h), "v_bias": jnp.zeros((l, kvh * hd), dtype),
+            "o_kernel": init(ks[4], (l, h, h), h),
+            "gate_kernel": init(ks[5], (l, h, i), h),
+            "up_kernel": init(ks[6], (l, h, i), h),
+            "down_kernel": init(ks[7], (l, i, h), i),
+        },
+        "final_ln": jnp.ones((h,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": init(jax.random.fold_in(key, 99), (h, cfg.vocab_size), h)}
+    return params
+
+
+def text_forward(
+    params: Params,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,        # [B, S, H]
+    position_ids: jnp.ndarray,         # [3, B, S] int32
+    cache: Optional[KVCache] = None,
+    attention_mask: Optional[jnp.ndarray] = None,  # bool [B, S] (current tokens) or [B, Smax] (cache mode)
+) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    """Returns (final hidden states [B, S, H], updated cache or None)."""
+    b, s, h = inputs_embeds.shape
+    hq, hk, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    cos, sin = mrope_cos_sin(position_ids, hd, cfg.rope_theta, cfg.mrope_section)
+    cos = cos.astype(inputs_embeds.dtype)
+    sin = sin.astype(inputs_embeds.dtype)
+
+    if cache is not None:
+        mask = kv_cache_mask(s, cache.max_len, cache.offset)[None, None]  # [1,1,S,Smax]
+    else:
+        mask = causal_mask(s)[None, None]                                  # [1,1,S,S]
+    if attention_mask is not None:
+        mask = mask & attention_mask[:, None, None, :]
+
+    def block(x, xs):
+        layer = xs[0] if cache is not None else xs
+        y = rms_norm(x, layer["input_ln"], cfg.rms_norm_eps)
+        q = (y @ layer["q_kernel"] + layer["q_bias"]).reshape(b, s, hq, hd)
+        k = (y @ layer["k_kernel"] + layer["k_bias"]).reshape(b, s, hk, hd)
+        v = (y @ layer["v_kernel"] + layer["v_bias"]).reshape(b, s, hk, hd)
+        q, k = apply_mrope(q, k, cos, sin)
+        if cache is not None:
+            _, ck, cv = xs
+            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache.offset, 0, 0))
+            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache.offset, 0, 0))
+            attn = mha(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+            ys = (ck, cv)
+        else:
+            attn = mha(q, k, v, mask=mask)
+            ys = None
+        x = x + attn.reshape(b, s, h) @ layer["o_kernel"]
+        y = rms_norm(x, layer["post_ln"], cfg.rms_norm_eps)
+        y = (jax.nn.silu(y @ layer["gate_kernel"]) * (y @ layer["up_kernel"])) @ layer["down_kernel"]
+        return x + y, ys
+
+    if cache is not None:
+        x, (new_k, new_v) = lax.scan(block, inputs_embeds, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(new_k, new_v, cache.offset + s)
+    else:
+        x, _ = lax.scan(block, inputs_embeds, params["layers"])
+        new_cache = None
+
+    return rms_norm(x, params["final_ln"], cfg.rms_norm_eps), new_cache
+
+
+def lm_logits(params: Params, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """[B, S, H] -> [B, S, V] in float32."""
+    if cfg.tie_word_embeddings:
+        kernel = params["embed"]["weight"].T
+    else:
+        kernel = params["lm_head"]["kernel"]
+    return jnp.einsum("bsh,hv->bsv", hidden, kernel, preferred_element_type=jnp.float32)

@@ -1,0 +1,89 @@
+"""Qwen2-VL vision tower in functional JAX (params = pytree of arrays).
+
+Behavioral contract: transformers Qwen2VisionTransformerPretrainedModel —
+3D-conv patch embed (expressed as one matmul over flattened patches), `depth`
+pre-LN blocks with 2D rotary attention restricted to per-temporal-group
+segments (cu_seqlens semantics), QuickGELU MLP, and a 2x2 PatchMerger MLP
+projecting to the LLM hidden size.
+
+Layer params are stacked on a leading ``depth`` axis and executed with
+``lax.scan`` — one compiled block, MXU-friendly, and trivially shardable along
+the model axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from livecc_tpu.core.config import VisionConfig
+from livecc_tpu.ops.attention import mha
+from livecc_tpu.ops.norms import layer_norm
+from livecc_tpu.ops.rope import apply_rotary_vision
+
+Params = dict[str, Any]
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def init_vision_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    e, d, m = cfg.embed_dim, cfg.depth, cfg.mlp_hidden_dim
+    merge_dim = cfg.embed_dim * cfg.spatial_merge_size**2
+    ks = jax.random.split(key, 8)
+    init = lambda k, shape, fan_in: (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+    zeros = lambda shape: jnp.zeros(shape, dtype)
+    ones = lambda shape: jnp.ones(shape, dtype)
+    return {
+        "patch_embed": {"kernel": init(ks[0], (cfg.patch_dim, e), cfg.patch_dim)},
+        "blocks": {
+            "norm1_scale": ones((d, e)), "norm1_bias": zeros((d, e)),
+            "norm2_scale": ones((d, e)), "norm2_bias": zeros((d, e)),
+            "qkv_kernel": init(ks[1], (d, e, 3 * e), e), "qkv_bias": zeros((d, 3 * e)),
+            "proj_kernel": init(ks[2], (d, e, e), e), "proj_bias": zeros((d, e)),
+            "fc1_kernel": init(ks[3], (d, e, m), e), "fc1_bias": zeros((d, m)),
+            "fc2_kernel": init(ks[4], (d, m, e), m), "fc2_bias": zeros((d, e)),
+        },
+        "merger": {
+            "ln_q_scale": ones((e,)), "ln_q_bias": zeros((e,)),
+            "fc1_kernel": init(ks[5], (merge_dim, merge_dim), merge_dim), "fc1_bias": zeros((merge_dim,)),
+            "fc2_kernel": init(ks[6], (merge_dim, cfg.hidden_size), merge_dim), "fc2_bias": zeros((cfg.hidden_size,)),
+        },
+    }
+
+
+def vision_forward(
+    params: Params,
+    cfg: VisionConfig,
+    patches: jnp.ndarray,    # [N, patch_dim] processor-layout flattened patches
+    cos: jnp.ndarray,        # [N, head_dim] vision rotary (ops.rope.vision_rotary_cos_sin)
+    sin: jnp.ndarray,        # [N, head_dim]
+    seg_mask: jnp.ndarray,   # [N, N] bool block-diagonal attention mask
+) -> jnp.ndarray:
+    """[N, patch_dim] -> [N / merge**2, hidden_size] visual embeddings."""
+    n = patches.shape[0]
+    h, hd = cfg.num_heads, cfg.head_dim
+    x = patches.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
+
+    def block(x, layer):
+        y = layer_norm(x, layer["norm1_scale"], layer["norm1_bias"], cfg.layer_norm_eps)
+        qkv = y @ layer["qkv_kernel"] + layer["qkv_bias"]
+        q, k, v = jnp.split(qkv.reshape(n, 3 * h, hd), 3, axis=1)
+        q, k = apply_rotary_vision(q, k, cos, sin)
+        attn = mha(q[None], k[None], v[None], mask=seg_mask[None, None])[0]
+        x = x + attn.reshape(n, h * hd) @ layer["proj_kernel"] + layer["proj_bias"]
+        y = layer_norm(x, layer["norm2_scale"], layer["norm2_bias"], cfg.layer_norm_eps)
+        y = quick_gelu(y @ layer["fc1_kernel"] + layer["fc1_bias"]) @ layer["fc2_kernel"] + layer["fc2_bias"]
+        return x + y, None
+
+    x, _ = lax.scan(block, x, params["blocks"])
+
+    mg = params["merger"]
+    y = layer_norm(x, mg["ln_q_scale"], mg["ln_q_bias"], cfg.layer_norm_eps)
+    y = y.reshape(-1, cfg.embed_dim * cfg.spatial_merge_size**2)
+    y = jax.nn.gelu(y @ mg["fc1_kernel"] + mg["fc1_bias"], approximate=False)
+    return y @ mg["fc2_kernel"] + mg["fc2_bias"]

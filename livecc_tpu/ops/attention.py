@@ -1,0 +1,74 @@
+"""Attention ops: XLA reference implementation + dispatch to Pallas kernels.
+
+Replaces the reference's flash-attn 2 CUDA dependency (SURVEY.md §2b N2):
+  * ``mha`` — full multi-head attention with optional boolean mask and GQA,
+    fp32 softmax (matches HF eager/flash numerics at the op contract level).
+  * causal masks with KV-cache semantics (`kv_cache_mask`) for decode.
+  * block-diagonal masks (`segment_mask`) for the ViT's per-temporal-group
+    attention (cu_seqlens semantics of Qwen2VisionTransformer.forward).
+
+On TPU the same signatures are served by Pallas flash-attention kernels
+(ops/pallas/flash_attention.py); this XLA path is the CPU/test fallback and
+the numerical reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def mha(
+    q: jnp.ndarray,                 # [B, Sq, Hq, D]
+    k: jnp.ndarray,                 # [B, Skv, Hk, D]
+    v: jnp.ndarray,                 # [B, Skv, Hk, D]
+    mask: jnp.ndarray | None = None,  # bool, broadcastable to [B, Hq, Sq, Skv]; True = attend
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Reference attention: fp32 logits+softmax, GQA via head repetition."""
+    b, sq, hq, d = q.shape
+    hk = k.shape[2]
+    if hq != hk:
+        rep = hq // hk
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = d ** -0.5 if scale is None else scale
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def causal_mask(sq: int, skv: int | None = None) -> jnp.ndarray:
+    """[Sq, Skv] lower-triangular mask (queries aligned to the cache tail)."""
+    skv = sq if skv is None else skv
+    qi = jnp.arange(sq)[:, None] + (skv - sq)
+    ki = jnp.arange(skv)[None, :]
+    return ki <= qi
+
+
+def kv_cache_mask(sq: int, cache_len: int, offset: jnp.ndarray) -> jnp.ndarray:
+    """Causal mask for queries appended at ``offset`` into a static cache.
+
+    Query i (global position offset+i) may attend cache slots [0, offset+i].
+    Slots beyond offset+sq are unfilled and masked out automatically.
+    Returns bool [Sq, cache_len].
+    """
+    qpos = offset + jnp.arange(sq)[:, None]
+    kpos = jnp.arange(cache_len)[None, :]
+    return kpos <= qpos
+
+
+def segment_mask(seg_ids: jnp.ndarray) -> jnp.ndarray:
+    """Block-diagonal [N, N] mask: attend only within the same segment.
+
+    ViT semantics: cu_seqlens from repeat_interleave(h*w, t).cumsum — each
+    temporal patch group of each video is one segment.
+    """
+    return seg_ids[:, None] == seg_ids[None, :]

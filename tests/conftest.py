@@ -7,6 +7,22 @@ on a fake 8-device CPU mesh — this must run before anything imports jax.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Zero-egress environment: stop transformers/HF hub from attempting (and
+# timing out on) network calls.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# XLA:CPU's default matmul runs reduced precision (oneDNN bf16-ish), which
+# breaks fp32 parity-vs-torch tests; force true fp32 accumulation in tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# Cache compiled executables across test runs (XLA:CPU compiles of the scanned
+# transformer take ~2 min cold).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

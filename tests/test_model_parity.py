@@ -1,0 +1,81 @@
+"""Numerical parity of the JAX Qwen2-VL tower vs HF golden outputs.
+
+Goldens (tests/goldens/hf_tiny.npz) are produced once by
+tools/gen_hf_goldens.py from a tiny random-init torch
+Qwen2VLForConditionalGeneration; the routine suite never imports torch. This
+is the no-network equivalent of the reference's greedy-parity requirement
+(BASELINE.md): if the tiny model matches on interleaved multimodal input, a
+converted 7B checkpoint computes the same function.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from livecc_tpu.core.config import tiny_config
+from livecc_tpu.models import qwen2_vl as m
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "hf_tiny.npz")
+
+
+@pytest.fixture(scope="session")
+def golden():
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="session")
+def params_and_cfg(golden):
+    cfg = tiny_config()
+    state = {k[len("state::"):]: golden[k] for k in golden.files if k.startswith("state::")}
+    return m.convert_state_dict(state, cfg), cfg
+
+
+def test_rope_index_parity(golden, params_and_cfg):
+    _, cfg = params_and_cfg
+    pos, delta = m.get_rope_index(cfg, golden["mm_ids"], video_grid_thw=golden["mm_grid"])
+    np.testing.assert_array_equal(pos, golden["mm_pos"])
+    np.testing.assert_array_equal(delta, golden["mm_delta"])
+
+
+def test_rope_index_text_only(golden, params_and_cfg):
+    _, cfg = params_and_cfg
+    pos, delta = m.get_rope_index(cfg, golden["text_ids"])
+    np.testing.assert_array_equal(pos, golden["t_pos"])
+    np.testing.assert_array_equal(delta, golden["t_delta"])
+
+
+def test_rope_index_multi_video_and_padding(golden, params_and_cfg):
+    _, cfg = params_and_cfg
+    pos, delta = m.get_rope_index(
+        cfg, golden["mv_ids"], video_grid_thw=golden["mv_grid"], attention_mask=golden["mv_mask"]
+    )
+    np.testing.assert_array_equal(pos, golden["mv_pos"])
+    np.testing.assert_array_equal(delta, golden["mv_delta"])
+
+
+def test_text_only_logits_parity(golden, params_and_cfg):
+    params, cfg = params_and_cfg
+    ids = golden["text_ids"]
+    pos, _ = m.get_rope_index(cfg, ids)
+    logits, _ = m.forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(logits), golden["text_logits"], atol=2e-4, rtol=1e-3)
+
+
+def test_multimodal_logits_parity(golden, params_and_cfg):
+    params, cfg = params_and_cfg
+    ids, patches, grid = golden["mm_ids"], golden["mm_patches"], golden["mm_grid"]
+    pos, _ = m.get_rope_index(cfg, ids, video_grid_thw=grid)
+    vis = m.prepare_vision_inputs(cfg, patches, [tuple(g) for g in grid])
+    logits, _ = m.forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos), vision=vis)
+    np.testing.assert_allclose(np.asarray(logits), golden["mm_logits"], atol=5e-4, rtol=1e-3)
+
+
+def test_vision_tower_parity(golden, params_and_cfg):
+    params, cfg = params_and_cfg
+    grid, patches = golden["v_grid"], golden["v_patches"]
+    vis = m.prepare_vision_inputs(cfg, patches, [tuple(g) for g in grid])
+    out = m.vision_forward(params["visual"], cfg.vision, vis.patches, vis.cos, vis.sin, vis.seg_mask)
+    np.testing.assert_allclose(np.asarray(out), golden["v_out"], atol=2e-4, rtol=1e-3)
