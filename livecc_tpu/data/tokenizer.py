@@ -124,6 +124,13 @@ class ByteTokenizer:
                     buf = bytearray()
                 if not skip_special_tokens:
                     out.append(self._id_to_special.get(i, f"<{i}>"))
+            elif i >= self.BYTE_OFFSET + 256:
+                # Out-of-range id (e.g. random-init test models sample the
+                # full vocab): render a visible placeholder.
+                if buf:
+                    out.append(buf.decode(errors="replace"))
+                    buf = bytearray()
+                out.append(f"<{i}>")
             else:
                 buf.append(i - self.BYTE_OFFSET)
         if buf:

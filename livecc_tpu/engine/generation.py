@@ -1,0 +1,185 @@
+"""Bucketed prefill + fused decode for streaming generation.
+
+Replaces the reference's HF ``generate(past_key_values=...)`` per-chunk loop
+(demo/infer.py:165-174) with two jit programs over static shape buckets:
+
+  * ``prefill``      — run a (padded) chunk of prompt tokens through the model,
+    writing KV at the cache tail; returns logits at the last valid token.
+  * ``decode_chunk`` — a fused ``lax.scan`` that samples up to
+    ``max_new_tokens`` tokens fully on device (greedy / temperature / top-k /
+    top-p), with HF-parity repetition penalty and the streaming
+    ThresholdLogitsProcessor (demo/infer.py:10-23).
+
+Semantics pinned to the reference stack:
+  * Positions: the first prefill uses full 3D M-RoPE positions
+    (get_rope_index); every later chunk/decode step uses flat
+    ``offset + rope_delta`` positions on all three axes — this mirrors
+    Qwen2VLModel.forward's cached-``rope_deltas`` branch, which is what
+    the reference's generation_patch.py:34-35 routes streaming through.
+  * The final sampled token of each chunk is NOT forwarded (its KV never
+    enters the cache) — mirrors ``past_ids = sequences[:, :-1]``
+    (demo/infer.py:174): history continues from all but the last token.
+  * Repetition penalty applies over prompt+generated presence
+    (HF RepetitionPenaltyLogitsProcessor semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from livecc_tpu.core.config import ModelConfig
+from livecc_tpu.models.qwen2_vl.model import VisionInputs, forward
+from livecc_tpu.models.qwen2_vl.text import KVCache
+
+Params = dict[str, Any]
+_NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationParams:
+    """Static generation settings (one jit specialization per distinct value)."""
+
+    max_new_tokens: int = 16
+    eos_token_id: int = 151645            # <|im_end|>
+    pad_token_id: int = 151643
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0                        # 0 = disabled
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    # ThresholdLogitsProcessor (reference demo/infer.py:10-23); -1 disables.
+    streaming_eos_token_id: int = -1
+    streaming_threshold_base: float = -1.0
+    streaming_threshold_step: float = 0.0
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, presence: jnp.ndarray, penalty: float) -> jnp.ndarray:
+    """HF semantics: seen tokens' scores divided (if >0) or multiplied (if <0)."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(presence, penalized, logits)
+
+
+def select_token(
+    logits: jnp.ndarray,                   # [B, V] fp32
+    gen: GenerationParams,
+    key: Optional[jax.Array],
+) -> jnp.ndarray:
+    """Greedy or (temperature, top-k, top-p) sampling. Returns [B] int32."""
+    if not gen.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(gen.temperature, 1e-6)
+    if gen.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -gen.top_k][:, None]
+        logits = jnp.where(logits < kth, _NEG_INF, logits)
+    if gen.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < gen.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, _NEG_INF, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def presence_from_ids(ids: jnp.ndarray, valid_len: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
+    """[B, S] ids -> [B, V] bool presence (only the first valid_len count)."""
+    b, s = ids.shape
+    valid = jnp.arange(s)[None, :] < valid_len
+    onehot = jax.nn.one_hot(ids, vocab_size, dtype=jnp.bool_)
+    return jnp.any(onehot & valid[..., None], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill(
+    params: Params,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,            # [B, Sb] (right-padded to bucket)
+    position_ids: jnp.ndarray,   # [3, B, Sb]
+    valid_len: jnp.ndarray,      # int32 scalar — number of real tokens
+    cache: KVCache,
+    vision: Optional[VisionInputs] = None,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Write a chunk into the cache; return fp32 logits at the last valid token."""
+    key_valid = jnp.arange(cache.max_len)[None, :] < (cache.offset + valid_len)
+    logits, new_cache = forward(
+        params, cfg, ids, position_ids, vision=vision, cache=cache, attention_mask=key_valid
+    )
+    last = logits[jnp.arange(ids.shape[0]), valid_len - 1]          # [B, V]
+    new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + valid_len)
+    return last, new_cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "gen"), donate_argnames=("cache",)
+)
+def decode_chunk(
+    params: Params,
+    cfg: ModelConfig,
+    gen: GenerationParams,
+    logits0: jnp.ndarray,        # [B, V] fp32 logits at the last prompt token
+    cache: KVCache,
+    presence: jnp.ndarray,       # [B, V] bool — tokens seen so far (prompt incl.)
+    rope_delta: jnp.ndarray,     # int32 [B, 1]
+    rng: jax.Array,
+) -> tuple[jnp.ndarray, jnp.ndarray, KVCache, jnp.ndarray]:
+    """Fused on-device decode of up to max_new_tokens.
+
+    Returns (tokens [B, max_new] — pad after stop, n_generated [B],
+    cache — offset advanced by the number of forwarded tokens, presence).
+    The last sampled token is sampled but never forwarded (reference
+    ``past_ids`` semantics); its KV is absent from the cache.
+    """
+    b = logits0.shape[0]
+    assert b == 1, "single-stream decode; batched serving uses serve/"
+
+    def step(carry, i):
+        logits, cache, stopped, presence, key = carry
+        key, sub = jax.random.split(key)
+        logits = apply_repetition_penalty(logits, presence, gen.repetition_penalty)
+        if gen.streaming_threshold_base >= 0 and gen.streaming_eos_token_id >= 0:
+            threshold = gen.streaming_threshold_base + gen.streaming_threshold_step * i
+            prob = jax.nn.softmax(logits, axis=-1)[:, gen.streaming_eos_token_id]
+            low = prob <= threshold
+            logits = logits.at[:, gen.streaming_eos_token_id].set(
+                jnp.where(low, _NEG_INF, logits[:, gen.streaming_eos_token_id])
+            )
+        token = select_token(logits, gen, sub)                      # [B]
+        token_out = jnp.where(stopped, gen.pad_token_id, token)
+        now_stopped = stopped | (token == gen.eos_token_id) | (i == gen.max_new_tokens - 1)
+        presence = jnp.where(
+            stopped[:, None], presence,
+            presence | jax.nn.one_hot(token, presence.shape[1], dtype=jnp.bool_),
+        )
+        # Forward the sampled token unless generation has ended. When ended we
+        # still execute the forward (static graph) but freeze the offset, so
+        # the write lands on the free slot and is overwritten later.
+        pos = continuation_pos(cache.offset, rope_delta, b)
+        step_logits, new_cache = forward(
+            params, cfg, token[:, None], pos, cache=cache, compute_logits=True
+        )
+        advance = jnp.where(now_stopped.any(), 0, 1)
+        new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + advance)
+        return (step_logits[:, -1], new_cache, now_stopped, presence, key), (token_out, ~stopped)
+
+    init = (logits0, cache, jnp.zeros((b,), jnp.bool_), presence, rng)
+    (_, cache, _, presence, _), (tokens, emitted) = lax.scan(
+        step, init, jnp.arange(gen.max_new_tokens)
+    )
+    tokens = tokens.T                                               # [B, max_new]
+    n_gen = jnp.sum(emitted.T, axis=-1).astype(jnp.int32)
+    return tokens, n_gen, cache, presence
+
+
+def continuation_pos(offset: jnp.ndarray, rope_delta: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """[3, B, 1] flat positions for a single decode step."""
+    pos = (offset + rope_delta).astype(jnp.int32)                   # [B, 1]
+    return jnp.broadcast_to(pos[None], (3, batch, 1))

@@ -1,0 +1,266 @@
+"""LiveCC streaming engine: interleaved frame-chunk prefill + word decode.
+
+TPU-native re-design of the reference's ``LiveCCDemoInfer`` (demo/infer.py):
+the per-chunk loop (build ``Time=a-b s`` turn -> tokenize -> prefill new chunk
+into the growing KV cache -> decode <=16 tokens) runs over *bucketed static
+shapes* so a real-time stream never triggers a recompile:
+
+  * prompt-token chunks are right-padded to power-of-two buckets;
+  * vision patch counts are padded to PATCH_BUCKET multiples (the padded
+    patches land in their own attention segment and their embeddings are
+    never gathered by the video-token scatter);
+  * the KV cache is a donated static buffer that doubles when exhausted.
+
+Chunking semantics mirror the reference exactly: 6-frame (3 s) initial chunk
+then 2-frame (1 s) chunks (demo/infer.py:27-33), system prompt stripped from
+continuation turns (demo/infer.py:147-150), ``' ...'`` marks continuing
+commentary, history continues from all but each chunk's final token
+(demo/infer.py:173-174).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from livecc_tpu.core.config import ModelConfig
+from livecc_tpu.data import chat
+from livecc_tpu.data.tokenizer import Tokenizer
+from livecc_tpu.engine.generation import (
+    GenerationParams,
+    decode_chunk,
+    prefill,
+    presence_from_ids,
+)
+from livecc_tpu.models.qwen2_vl.model import (
+    VisionInputs,
+    get_rope_index,
+    prepare_vision_inputs,
+)
+from livecc_tpu.models.qwen2_vl.text import KVCache
+from livecc_tpu.vision_io.budget import VisionBudget
+from livecc_tpu.vision_io.patchify import patchify_video
+
+Params = dict[str, Any]
+
+TOKEN_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+PATCH_BUCKET = 256          # patch-count granularity for ViT shapes
+
+
+def _bucket(n: int, buckets: Sequence[int] = TOKEN_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"chunk of {n} tokens exceeds the largest bucket {buckets[-1]}")
+
+
+@dataclasses.dataclass
+class StreamState:
+    """Per-stream mutable state (host side)."""
+
+    cache: KVCache
+    past_ids: list[int]
+    rope_delta: int | None = None            # set by the first prefill
+    query_sent: bool = False
+    # live-mode video cursors (reference demo/infer.py:75-83)
+    last_timestamp: float | None = None
+    last_pts_index: int = 0
+    video_end: bool = False
+
+
+class LiveCCEngine:
+    """Single-stream streaming commentary engine (multi-stream in serve/)."""
+
+    fps = 2.0
+    initial_fps_frames = 6
+    streaming_fps_frames = 2
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: ModelConfig,
+        tokenizer: Tokenizer,
+        *,
+        budget: VisionBudget | None = None,
+        cache_len: int = 8192,
+        cache_dtype=jnp.float32,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.budget = budget or VisionBudget()
+        self.cache_len = cache_len
+        self.cache_dtype = cache_dtype
+        self.sys_offset = chat.system_prompt_offset()
+        # ' ...' continuation marker token (reference demo/infer.py:49)
+        ids = tokenizer.encode(" ...")
+        self.streaming_eos_token_id = ids[-1]
+        self._rng = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    # state management
+    # ------------------------------------------------------------------
+
+    def new_stream(self) -> StreamState:
+        cache = KVCache.zeros(self.cfg.text, 1, self.cache_len, self.cache_dtype)
+        return StreamState(cache=cache, past_ids=[])
+
+    def _ensure_capacity(self, state: StreamState, needed: int) -> None:
+        off = int(state.cache.offset)
+        cap = state.cache.max_len
+        if off + needed <= cap:
+            return
+        new_cap = cap
+        while off + needed > new_cap:
+            new_cap *= 2
+        k = jnp.zeros(state.cache.k.shape[:2] + (new_cap,) + state.cache.k.shape[3:], self.cache_dtype)
+        v = jnp.zeros_like(k)
+        k = jax.lax.dynamic_update_slice(k, state.cache.k, (0, 0, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, state.cache.v, (0, 0, 0, 0, 0))
+        state.cache = KVCache(k, v, state.cache.offset)
+
+    # ------------------------------------------------------------------
+    # one chunk: text+frames -> generated words
+    # ------------------------------------------------------------------
+
+    def chunk_step(
+        self,
+        state: StreamState,
+        frames: np.ndarray | None,          # [T, C, H, W] resized frames (T % 2 == 0) or None
+        t0: float,
+        t1: float,
+        query: str | None,
+        gen: GenerationParams,
+    ) -> str:
+        """Run one interleave step; returns decoded new text."""
+        content: list[dict] = [{"type": "text", "text": f"Time={t0:.1f}-{t1:.1f}s"}]
+        grid = None
+        vision = None
+        if frames is not None:
+            patches, grid = patchify_video(frames)
+            content.append({"type": "video", "video": None})
+            vision = self._bucketed_vision(patches, grid)
+        if query is not None:
+            content.append({"type": "text", "text": query})
+        text = chat.render_chat([{"role": "user", "content": content}], add_generation_prompt=True)
+        continuing = state.rope_delta is not None
+        if continuing:
+            text = chat.strip_system_for_continuation(text, self.sys_offset)
+        if grid is not None:
+            text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])
+        new_ids = self.tokenizer.encode(text)
+        return self._run_chunk(state, new_ids, vision, grid, gen)
+
+    def _bucketed_vision(self, patches: np.ndarray, grid) -> VisionInputs:
+        n = patches.shape[0]
+        n_pad = -n % PATCH_BUCKET
+        vis = prepare_vision_inputs(self.cfg, patches, [tuple(grid)])
+        if n_pad == 0:
+            return vis
+        pd = patches.shape[1]
+        hd = vis.cos.shape[1]
+        # padded patches: own segment (all-False rows/cols in mask), zero rotary
+        pad_mask = np.zeros((n + n_pad, n + n_pad), bool)
+        pad_mask[:n, :n] = np.asarray(vis.seg_mask)
+        return VisionInputs(
+            patches=jnp.concatenate([vis.patches, jnp.zeros((n_pad, pd), vis.patches.dtype)]),
+            cos=jnp.concatenate([vis.cos, jnp.ones((n_pad, hd), vis.cos.dtype)]),
+            sin=jnp.concatenate([vis.sin, jnp.zeros((n_pad, hd), vis.sin.dtype)]),
+            seg_mask=jnp.asarray(pad_mask),
+        )
+
+    def _run_chunk(
+        self,
+        state: StreamState,
+        new_ids: list[int],
+        vision: Optional[VisionInputs],
+        grid,
+        gen: GenerationParams,
+    ) -> str:
+        n_new = len(new_ids)
+        bucket = _bucket(n_new)
+        self._ensure_capacity(state, bucket + gen.max_new_tokens + 1)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :n_new] = new_ids
+        offset = int(state.cache.offset)
+
+        if state.rope_delta is None:
+            # First chunk: true 3D M-RoPE positions over the full prompt.
+            pos, delta = get_rope_index(
+                self.cfg,
+                np.asarray(new_ids)[None],
+                video_grid_thw=np.asarray([grid]) if grid is not None else None,
+            )
+            state.rope_delta = int(delta[0, 0])
+            pos_pad = np.zeros((3, 1, bucket), np.int32)
+            pos_pad[:, :, :n_new] = pos
+            pos_pad[:, :, n_new:] = pos[:, :, -1:] + np.arange(1, bucket - n_new + 1)
+        else:
+            # Continuation: flat offset+delta positions (cached rope_deltas
+            # branch of Qwen2VLModel.forward — reference streaming behavior).
+            pos_pad = np.broadcast_to(
+                (np.arange(bucket) + offset + state.rope_delta)[None, None], (3, 1, bucket)
+            ).astype(np.int32)
+
+        logits0, state.cache = prefill(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(pos_pad),
+            jnp.int32(n_new), state.cache, vision=vision,
+        )
+
+        all_ids = state.past_ids + new_ids
+        hist = np.asarray(all_ids + [0] * (-len(all_ids) % 128), np.int32)[None]
+        presence = presence_from_ids(
+            jnp.asarray(hist), jnp.int32(len(all_ids)), self.cfg.text.vocab_size
+        )
+        self._rng, sub = jax.random.split(self._rng)
+        tokens, n_gen, state.cache, _ = decode_chunk(
+            self.params, self.cfg, gen, logits0, state.cache, presence,
+            jnp.asarray([[state.rope_delta]], jnp.int32), sub,
+        )
+        tokens = np.asarray(tokens)[0]
+        n = int(n_gen[0])
+        generated = tokens[:n].tolist()
+        # History keeps all but the final sampled token (demo/infer.py:174).
+        state.past_ids = all_ids + generated[:-1]
+        return self.tokenizer.decode(generated, skip_special_tokens=True)
+
+    # ------------------------------------------------------------------
+    # offline evaluation API (reference demo/infer.py:244-310)
+    # ------------------------------------------------------------------
+
+    def live_cc_once_for_evaluation(
+        self,
+        query: str,
+        frames: np.ndarray,                  # [T, C, H, W] resized frames, strict-fps sampled
+        *,
+        video_start: float = 0.0,
+        max_new_tokens: int = 32,
+        repetition_penalty: float = 1.05,
+        do_sample: bool = False,
+    ) -> list[list]:
+        """Whole-clip chunked commentary; returns [[t0, t1, text], ...]."""
+        gen = GenerationParams(
+            max_new_tokens=max_new_tokens,
+            eos_token_id=self.cfg.eos_token_id,
+            pad_token_id=self.cfg.pad_token_id,
+            do_sample=do_sample,
+            repetition_penalty=repetition_penalty,
+        )
+        state = self.new_stream()
+        chunks: list[np.ndarray] = [frames[: self.initial_fps_frames]]
+        rest = frames[self.initial_fps_frames:]
+        chunks += [rest[i:i + self.streaming_fps_frames] for i in range(0, len(rest), self.streaming_fps_frames)]
+        out = []
+        t1 = 0.0
+        for i, clip in enumerate(chunks):
+            if len(clip) == 0:
+                continue
+            t0, t1 = (0.0, self.initial_fps_frames / self.fps) if i == 0 else (t1, t1 + self.streaming_fps_frames / self.fps)
+            text = self.chunk_step(state, clip, t0, t1, query if i == 0 else None, gen)
+            out.append([video_start + t0, video_start + t1, text])
+        return out

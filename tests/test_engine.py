@@ -1,0 +1,143 @@
+"""Engine tests: greedy-generate parity vs HF goldens + streaming invariants.
+
+The decisive checks for the reference's bit-parity requirement (BASELINE.md):
+  * chunk prefill + fused decode reproduces HF ``generate`` token-for-token
+    (multimodal and text-only prompts);
+  * KV-cache continuation (flat rope_delta positions) matches HF's cached
+    forward logits;
+  * bucketed (padded) prefill is numerically invariant to padding.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from livecc_tpu.core.config import tiny_config
+from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill, presence_from_ids
+from livecc_tpu.models import qwen2_vl as m
+from livecc_tpu.models.qwen2_vl.text import KVCache
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "hf_tiny.npz")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = np.load(GOLDEN)
+    cfg = tiny_config()
+    state = {k[len("state::"):]: g[k] for k in g.files if k.startswith("state::")}
+    params = m.convert_state_dict(state, cfg)
+    return g, params, cfg
+
+
+def run_prefill(params, cfg, ids, grid=None, patches=None, cache_len=128, bucket=32):
+    n = ids.shape[1]
+    pos, delta = m.get_rope_index(cfg, ids, video_grid_thw=grid)
+    ids_p = np.zeros((1, bucket), np.int32)
+    ids_p[0, :n] = ids[0]
+    pos_p = np.zeros((3, 1, bucket), np.int32)
+    pos_p[:, :, :n] = pos
+    pos_p[:, :, n:] = pos[:, :, -1:] + np.arange(1, bucket - n + 1)
+    vis = None
+    if patches is not None:
+        vis = m.prepare_vision_inputs(cfg, patches, [tuple(x) for x in grid])
+    cache = KVCache.zeros(cfg.text, 1, cache_len)
+    logits0, cache = prefill(
+        params, cfg, jnp.asarray(ids_p), jnp.asarray(pos_p), jnp.int32(n), cache, vision=vis
+    )
+    return logits0, cache, int(delta[0, 0])
+
+
+def greedy_gen(params, cfg, logits0, cache, ids, delta, max_new):
+    gen = GenerationParams(max_new_tokens=max_new, eos_token_id=cfg.eos_token_id,
+                           pad_token_id=cfg.pad_token_id)
+    hist = np.zeros((1, 64), np.int32)
+    hist[0, :ids.shape[1]] = ids[0]
+    presence = presence_from_ids(jnp.asarray(hist), jnp.int32(ids.shape[1]), cfg.text.vocab_size)
+    tokens, n_gen, cache, _ = decode_chunk(
+        params, cfg, gen, logits0, cache, presence,
+        jnp.asarray([[delta]], jnp.int32), jax.random.PRNGKey(0),
+    )
+    return np.asarray(tokens)[0][: int(n_gen[0])], cache
+
+
+def test_greedy_generate_multimodal_parity(setup):
+    g, params, cfg = setup
+    ids, patches, grid = g["mm_ids"], g["mm_patches"], g["mm_grid"]
+    logits0, cache, delta = run_prefill(params, cfg, ids, grid, patches)
+    generated, _ = greedy_gen(params, cfg, logits0, cache, ids, delta, max_new=12)
+    hf_tail = g["gen_ids"][0, ids.shape[1]:]
+    np.testing.assert_array_equal(generated, hf_tail)
+
+
+def test_greedy_generate_text_parity(setup):
+    g, params, cfg = setup
+    ids = g["text_ids"]
+    logits0, cache, delta = run_prefill(params, cfg, ids)
+    generated, _ = greedy_gen(params, cfg, logits0, cache, ids, delta, max_new=12)
+    hf_tail = g["gen_text_ids"][0, ids.shape[1]:]
+    np.testing.assert_array_equal(generated, hf_tail)
+
+
+def test_cache_continuation_logits_parity(setup):
+    """Chunk-2 prefill over the cache matches HF's cached forward exactly."""
+    g, params, cfg = setup
+    ids, patches, grid = g["mm_ids"], g["mm_patches"], g["mm_grid"]
+    _, cache, delta = run_prefill(params, cfg, ids, grid, patches)
+    ids2 = g["cont_ids2"]
+    suffix = ids2[:, ids.shape[1]:]
+    s = suffix.shape[1]
+    off = int(cache.offset)
+    # flat continuation positions (cached rope_deltas branch)
+    pos = np.broadcast_to((np.arange(s) + off + delta)[None, None], (3, 1, s)).astype(np.int32)
+    key_valid = (jnp.arange(cache.max_len) < off + s)[None, :]
+    logits, _ = m.forward(params, cfg, jnp.asarray(suffix), jnp.asarray(pos),
+                          cache=cache, attention_mask=key_valid)
+    np.testing.assert_allclose(np.asarray(logits), g["cont_logits2"], atol=5e-4, rtol=1e-3)
+
+
+def test_chunked_prefill_equals_full(setup):
+    """Feeding the prompt in two chunks gives the same next-token logits as
+    one full prefill (text-only continuation after a multimodal first chunk,
+    where flat positions coincide with get_rope_index)."""
+    g, params, cfg = setup
+    ids, patches, grid = g["mm_ids"], g["mm_patches"], g["mm_grid"]
+    extra = np.arange(40, 48)[None]
+    full = np.concatenate([ids, extra], axis=1)
+
+    # full prefill
+    logits_full, _, _ = run_prefill(params, cfg, full, grid, patches, bucket=32)
+
+    # chunked: mm chunk then text chunk
+    _, cache, delta = run_prefill(params, cfg, ids, grid, patches, bucket=32)
+    off = int(cache.offset)
+    s = extra.shape[1]
+    bucket = 32
+    ids_p = np.zeros((1, bucket), np.int32)
+    ids_p[0, :s] = extra[0]
+    pos_p = np.broadcast_to((np.arange(bucket) + off + delta)[None, None], (3, 1, bucket)).astype(np.int32)
+    logits_chunk, cache = prefill(
+        params, cfg, jnp.asarray(ids_p), jnp.asarray(np.ascontiguousarray(pos_p)),
+        jnp.int32(s), cache,
+    )
+    np.testing.assert_allclose(np.asarray(logits_chunk), np.asarray(logits_full), atol=2e-4, rtol=1e-3)
+    assert int(cache.offset) == full.shape[1]
+
+
+def test_prefill_padding_invariance(setup):
+    g, params, cfg = setup
+    ids = g["text_ids"]
+    l32, _, _ = run_prefill(params, cfg, ids, bucket=32)
+    l64, _, _ = run_prefill(params, cfg, ids, bucket=64)
+    np.testing.assert_allclose(np.asarray(l32), np.asarray(l64), atol=1e-5, rtol=1e-5)
+
+
+def test_repetition_penalty_and_threshold():
+    from livecc_tpu.engine.generation import apply_repetition_penalty
+    logits = jnp.asarray([[2.0, -2.0, 1.0, 0.5]])
+    presence = jnp.asarray([[True, True, False, False]])
+    out = np.asarray(apply_repetition_penalty(logits, presence, 2.0))
+    np.testing.assert_allclose(out, [[1.0, -4.0, 1.0, 0.5]])
