@@ -92,8 +92,24 @@ class ByteTokenizer:
     }
     BYTE_OFFSET = 8
 
-    def __init__(self):
+    def __init__(self, specials: dict[str, int] | None = None):
+        if specials is not None:
+            self.SPECIALS = dict(specials)
         self._id_to_special = {v: k for k, v in self.SPECIALS.items()}
+
+    @classmethod
+    def for_config(cls, cfg) -> "ByteTokenizer":
+        """Byte tokenizer whose special ids match a ModelConfig (benchmarks
+        with real-architecture random-init models)."""
+        return cls({
+            "<|endoftext|>": cfg.pad_token_id,
+            "<|im_start|>": cfg.im_start_token_id,
+            "<|im_end|>": cfg.im_end_token_id,
+            "<|vision_start|>": cfg.vision_start_token_id,
+            "<|vision_end|>": cfg.vision_end_token_id,
+            "<|image_pad|>": cfg.image_token_id,
+            "<|video_pad|>": cfg.video_token_id,
+        })
 
     @property
     def vocab_size(self) -> int:
@@ -118,21 +134,19 @@ class ByteTokenizer:
         buf = bytearray()
         for i in ids:
             i = int(i)
-            if i < self.BYTE_OFFSET:
-                if buf:
-                    out.append(buf.decode(errors="replace"))
-                    buf = bytearray()
-                if not skip_special_tokens:
-                    out.append(self._id_to_special.get(i, f"<{i}>"))
-            elif i >= self.BYTE_OFFSET + 256:
-                # Out-of-range id (e.g. random-init test models sample the
-                # full vocab): render a visible placeholder.
-                if buf:
-                    out.append(buf.decode(errors="replace"))
-                    buf = bytearray()
-                out.append(f"<{i}>")
-            else:
+            if self.BYTE_OFFSET <= i < self.BYTE_OFFSET + 256:
                 buf.append(i - self.BYTE_OFFSET)
+            else:
+                if buf:
+                    out.append(buf.decode(errors="replace"))
+                    buf = bytearray()
+                if i in self._id_to_special:
+                    if not skip_special_tokens:
+                        out.append(self._id_to_special[i])
+                else:
+                    # Out-of-range id (random-init test models sample the
+                    # whole vocab): render a visible placeholder.
+                    out.append(f"<{i}>")
         if buf:
             out.append(buf.decode(errors="replace"))
         return "".join(out)

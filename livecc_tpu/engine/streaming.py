@@ -164,14 +164,12 @@ class LiveCCEngine:
             return vis
         pd = patches.shape[1]
         hd = vis.cos.shape[1]
-        # padded patches: own segment (all-False rows/cols in mask), zero rotary
-        pad_mask = np.zeros((n + n_pad, n + n_pad), bool)
-        pad_mask[:n, :n] = np.asarray(vis.seg_mask)
+        # padded patches join a dedicated segment (< 0), identity rotary
         return VisionInputs(
             patches=jnp.concatenate([vis.patches, jnp.zeros((n_pad, pd), vis.patches.dtype)]),
             cos=jnp.concatenate([vis.cos, jnp.ones((n_pad, hd), vis.cos.dtype)]),
             sin=jnp.concatenate([vis.sin, jnp.zeros((n_pad, hd), vis.sin.dtype)]),
-            seg_mask=jnp.asarray(pad_mask),
+            seg_ids=jnp.concatenate([vis.seg_ids, jnp.full((n_pad,), -1, jnp.int32)]),
         )
 
     def _run_chunk(

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.models.qwen2_vl.text import KVCache, init_text_params, lm_logits, text_forward
 from livecc_tpu.models.qwen2_vl.vision import init_vision_params, vision_forward
-from livecc_tpu.ops.attention import segment_mask
 from livecc_tpu.ops.rope import vision_rotary_cos_sin
 
 Params = dict[str, Any]
@@ -52,7 +51,7 @@ class VisionInputs:
     patches: jnp.ndarray    # [N, patch_dim]
     cos: jnp.ndarray        # [N, head_dim]
     sin: jnp.ndarray        # [N, head_dim]
-    seg_mask: jnp.ndarray   # [N, N] bool
+    seg_ids: jnp.ndarray    # [N] int32 (pad patches < 0)
 
 
 def prepare_vision_inputs(cfg: ModelConfig, patches, grid_thw: list[tuple[int, int, int]]) -> VisionInputs:
@@ -61,14 +60,13 @@ def prepare_vision_inputs(cfg: ModelConfig, patches, grid_thw: list[tuple[int, i
         grid_thw, cfg.vision.head_dim, spatial_merge_size=cfg.vision.spatial_merge_size
     )
     seg_ids = np.concatenate(
-        [np.repeat(np.arange(t) + 1000 * i, h * w) for i, (t, h, w) in enumerate(grid_thw)]
-    )
-    mask = seg_ids[:, None] == seg_ids[None, :]
+        [np.repeat(np.arange(t) + 10**6 * i, h * w) for i, (t, h, w) in enumerate(grid_thw)]
+    ).astype(np.int32)
     return VisionInputs(
         patches=jnp.asarray(patches),
         cos=jnp.asarray(cos),
         sin=jnp.asarray(sin),
-        seg_mask=jnp.asarray(mask),
+        seg_ids=jnp.asarray(seg_ids),
     )
 
 
@@ -189,7 +187,7 @@ def forward(
     embeds = params["text"]["embed"]["weight"][input_ids]
     if vision is not None:
         video_embeds = vision_forward(
-            params["visual"], cfg.vision, vision.patches, vision.cos, vision.sin, vision.seg_mask
+            params["visual"], cfg.vision, vision.patches, vision.cos, vision.sin, vision.seg_ids
         )
         embeds = scatter_video_embeds(cfg, embeds, input_ids, video_embeds)
     hidden, new_cache = text_forward(

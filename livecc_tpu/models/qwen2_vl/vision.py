@@ -62,10 +62,15 @@ def vision_forward(
     patches: jnp.ndarray,    # [N, patch_dim] processor-layout flattened patches
     cos: jnp.ndarray,        # [N, head_dim] vision rotary (ops.rope.vision_rotary_cos_sin)
     sin: jnp.ndarray,        # [N, head_dim]
-    seg_mask: jnp.ndarray,   # [N, N] bool block-diagonal attention mask
+    seg_ids: jnp.ndarray,    # [N] int32 — per-temporal-group segment ids (pad < 0)
 ) -> jnp.ndarray:
-    """[N, patch_dim] -> [N / merge**2, hidden_size] visual embeddings."""
+    """[N, patch_dim] -> [N / merge**2, hidden_size] visual embeddings.
+
+    The block-diagonal attention mask (cu_seqlens semantics) is built on
+    device from compact seg_ids — hosts ship O(N) metadata, not O(N^2).
+    """
     n = patches.shape[0]
+    seg_mask = seg_ids[:, None] == seg_ids[None, :]
     h, hd = cfg.num_heads, cfg.head_dim
     x = patches.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
 

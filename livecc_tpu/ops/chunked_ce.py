@@ -1,0 +1,65 @@
+"""Chunked softmax cross-entropy over the vocabulary projection.
+
+N3-equivalent of the reference's Liger fused-linear-cross-entropy
+(applied via --use_liger_kernel, scripts/pt_local.sh:32): never materializes
+the full [seq, vocab] logits tensor. The sequence is processed in fixed-size
+chunks under ``lax.scan`` (+ ``jax.checkpoint`` so the backward pass
+recomputes each chunk's logits instead of storing them) — for a 32k-token
+sequence over the 152k Qwen2 vocab this avoids a ~19.5 GB fp32 buffer and
+keeps HBM traffic to the hidden states + one chunk of logits.
+
+Label convention matches the reference dataset (data/lmm_dataset.py:184-191):
+labels == -100 are ignored; the loss is the sum over supervised positions
+divided by their count (HF Trainer per-token mean).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+IGNORE_INDEX = -100
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def chunked_cross_entropy(
+    hidden: jnp.ndarray,        # [B, S, H] final hidden states (pre-lm_head)
+    lm_kernel: jnp.ndarray,     # [H, V]
+    labels: jnp.ndarray,        # [B, S] int32, -100 = ignore
+    chunk_size: int = 1024,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (summed loss fp32, count of supervised tokens)."""
+    b, s, h = hidden.shape
+    pad = -s % chunk_size
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
+    n_chunks = hidden.shape[1] // chunk_size
+    hidden = hidden.reshape(b, n_chunks, chunk_size, h).swapaxes(0, 1)
+    labels = labels.reshape(b, n_chunks, chunk_size).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def chunk_loss(hid, lab):
+        logits = jnp.einsum("bsh,hv->bsv", hid, lm_kernel, preferred_element_type=jnp.float32)
+        mask = lab != IGNORE_INDEX
+        safe = jnp.where(mask, lab, 0)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(jnp.where(mask, logz - gold, 0.0)), jnp.sum(mask)
+
+    def body(carry, xs):
+        loss, count = carry
+        hid, lab = xs
+        l, c = chunk_loss(hid, lab)
+        return (loss + l, count + c), None
+
+    (loss, count), _ = lax.scan(body, (jnp.float32(0.0), jnp.int32(0)), (hidden, labels))
+    return loss, count
+
+
+def cross_entropy_mean(hidden, lm_kernel, labels, chunk_size: int = 1024) -> jnp.ndarray:
+    loss, count = chunked_cross_entropy(hidden, lm_kernel, labels, chunk_size=chunk_size)
+    return loss / jnp.maximum(count, 1)

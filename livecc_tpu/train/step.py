@@ -1,0 +1,161 @@
+"""Sharded training step: AdamW + cosine/warmup, grad accumulation, remat.
+
+Replaces the reference's HF Trainer + DeepSpeed ZeRO-2 stack (train.py:25-29,
+scripts/pt_local.sh:17-31, scripts/deepspeed_zero2.json): one pjit-compiled
+step over the (data, model) mesh. Params replicate along data and
+tensor-parallel-shard along model (parallel/sharding.py); optimizer state is
+ZeRO-2-sharded along data; gradient accumulation is a ``lax.scan`` over
+micro-batches inside the same compiled step (reference: 64 micro-batches of
+1 sample, effective batch 512).
+
+The visual tower is frozen by default (train.py:17-19, --freeze_modules
+visual): frozen subtrees get ``stop_gradient`` (skips their backward) and a
+zero optax transform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from livecc_tpu.core.config import ModelConfig
+from livecc_tpu.models.qwen2_vl.model import VisionInputs, forward
+from livecc_tpu.ops.chunked_ce import chunked_cross_entropy
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the reference recipe (scripts/pt_local.sh:17-31)."""
+
+    learning_rate: float = 2e-5          # PT; SFT uses 1e-5 (sft_local.sh:5)
+    warmup_ratio: float = 0.03
+    total_steps: int = 1000
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    freeze_modules: tuple[str, ...] = ("visual",)
+    ce_chunk_size: int = 1024
+
+
+def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    warmup = max(int(cfg.total_steps * cfg.warmup_ratio), 1)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=warmup,
+        decay_steps=cfg.total_steps,
+        end_value=0.0,
+    )
+
+
+def _freeze_labels(params: Params, freeze_modules: tuple[str, ...]) -> Params:
+    def label(path, _):
+        top = str(getattr(path[0], "key", path[0]))
+        return "frozen" if top in freeze_modules else "trainable"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(cfg: TrainConfig, params: Params) -> optax.GradientTransformation:
+    adamw = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=lr_schedule(cfg),
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    return optax.multi_transform(
+        {"trainable": adamw, "frozen": optax.set_to_zero()},
+        _freeze_labels(params, cfg.freeze_modules),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Batch:
+    """One (accum, B, S) training batch; static shapes per bucket.
+
+    ``vision`` carries all clips' patches concatenated per micro-batch
+    (padded to a static patch count); labels use -100 ignore semantics
+    (data/lmm_dataset.py:184-191).
+    """
+
+    input_ids: jnp.ndarray        # [A, B, S]
+    labels: jnp.ndarray           # [A, B, S]
+    position_ids: jnp.ndarray     # [A, 3, B, S]
+    attention_mask: jnp.ndarray   # [A, B, S] bool
+    vision_patches: Optional[jnp.ndarray] = None   # [A, N, patch_dim]
+    vision_cos: Optional[jnp.ndarray] = None       # [A, N, hd]
+    vision_sin: Optional[jnp.ndarray] = None
+    vision_seg_ids: Optional[jnp.ndarray] = None   # [A, N]
+
+
+def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean CE over supervised tokens of one micro-batch. Returns (loss, count)."""
+    params = dict(params)
+    for mod in tcfg.freeze_modules:
+        if mod in params:
+            params[mod] = lax.stop_gradient(params[mod])
+    ids, labels, pos, mask = micro.input_ids, micro.labels, micro.position_ids, micro.attention_mask
+    vision = None
+    if micro.vision_patches is not None:
+        vision = VisionInputs(micro.vision_patches, micro.vision_cos, micro.vision_sin, micro.vision_seg_ids)
+    hidden, _ = forward(params, cfg, ids, pos, vision=vision,
+                        attention_mask=mask, compute_logits=False)
+    if cfg.text.tie_word_embeddings:
+        kernel = params["text"]["embed"]["weight"].T
+    else:
+        kernel = params["text"]["lm_head"]["kernel"]
+    # next-token shift: predict labels[t+1] from hidden[t]
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full_like(labels[:, :1], -100)], axis=1
+    )
+    loss, count = chunked_cross_entropy(hidden, kernel, shifted, chunk_size=tcfg.ce_chunk_size)
+    return loss, count
+
+
+def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer: optax.GradientTransformation):
+    """Returns jit-able ``step(params, opt_state, batch) -> (params, opt_state, metrics)``.
+
+    Accumulates over the leading ``A`` axis of Batch inside one compiled
+    program, normalizing by the total supervised-token count across the
+    accumulation window (HF Trainer semantics).
+    """
+
+    def step(params: Params, opt_state, batch: Batch):
+        def grad_one(micro):
+            def scaled(p):
+                return loss_fn(p, cfg, tcfg, micro)
+            (loss, count), grads = jax.value_and_grad(scaled, has_aux=True)(params)
+            return loss, count, grads
+
+        def body(carry, micro):
+            loss_acc, count_acc, grads_acc = carry
+            loss, count, grads = grad_one(micro)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (loss_acc + loss, count_acc + count, grads_acc), None
+
+        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        (loss_sum, count_sum, grads), _ = lax.scan(
+            body, (jnp.float32(0.0), jnp.int32(0), zeros), batch
+        )
+        # cross-data-replica token-weighted mean happens automatically: grads
+        # and counts are summed over the data axis by pjit when opt state is
+        # data-sharded; normalize by global token count.
+        denom = jnp.maximum(count_sum, 1).astype(jnp.float32)
+        grads = jax.tree_util.tree_map(lambda g: (g / denom).astype(jnp.float32), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss_sum / denom, "tokens": count_sum}
+        return params, opt_state, metrics
+
+    return step

@@ -6,7 +6,9 @@ on a fake 8-device CPU mesh — this must run before anything imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env sets 'axon' (TPU)
+# The axon sitecustomize registers the TPU plugin and overrides platform
+# selection at import; jax.config below re-forces CPU (env alone is ignored).
 # Zero-egress environment: stop transformers/HF hub from attempting (and
 # timing out on) network calls.
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -19,6 +21,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 # breaks fp32 parity-vs-torch tests; force true fp32 accumulation in tests.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Cache compiled executables across test runs (XLA:CPU compiles of the scanned

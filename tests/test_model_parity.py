@@ -77,5 +77,5 @@ def test_vision_tower_parity(golden, params_and_cfg):
     params, cfg = params_and_cfg
     grid, patches = golden["v_grid"], golden["v_patches"]
     vis = m.prepare_vision_inputs(cfg, patches, [tuple(g) for g in grid])
-    out = m.vision_forward(params["visual"], cfg.vision, vis.patches, vis.cos, vis.sin, vis.seg_mask)
+    out = m.vision_forward(params["visual"], cfg.vision, vis.patches, vis.cos, vis.sin, vis.seg_ids)
     np.testing.assert_allclose(np.asarray(out), golden["v_out"], atol=2e-4, rtol=1e-3)
