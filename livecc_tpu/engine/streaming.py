@@ -139,17 +139,41 @@ class LiveCCEngine:
     ) -> str:
         """Run one interleave step; returns decoded new text."""
         content: list[dict] = [{"type": "text", "text": f"Time={t0:.1f}-{t1:.1f}s"}]
+        if frames is not None:
+            content.append({"type": "video", "video": None})
+        if query is not None:
+            content.append({"type": "text", "text": query})
+        return self._user_turn(state, content, frames, gen)
+
+    def qa_turn(
+        self,
+        state: StreamState,
+        frames: np.ndarray | None,
+        message: str,
+        gen: GenerationParams,
+    ) -> str:
+        """One QA turn over the shared cache (video attached if given) —
+        reference video_qa semantics (demo/infer.py:182-242)."""
+        content: list[dict] = []
+        if frames is not None:
+            content.append({"type": "video", "video": None})
+        content.append({"type": "text", "text": message})
+        return self._user_turn(state, content, frames, gen)
+
+    def _user_turn(
+        self,
+        state: StreamState,
+        content: list[dict],
+        frames: np.ndarray | None,
+        gen: GenerationParams,
+    ) -> str:
         grid = None
         vision = None
         if frames is not None:
             patches, grid = patchify_video(frames)
-            content.append({"type": "video", "video": None})
             vision = self._bucketed_vision(patches, grid)
-        if query is not None:
-            content.append({"type": "text", "text": query})
         text = chat.render_chat([{"role": "user", "content": content}], add_generation_prompt=True)
-        continuing = state.rope_delta is not None
-        if continuing:
+        if state.rope_delta is not None:
             text = chat.strip_system_for_continuation(text, self.sys_offset)
         if grid is not None:
             text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])

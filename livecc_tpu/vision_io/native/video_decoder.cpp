@@ -1,0 +1,378 @@
+// PTS-indexed random-access video decoder (decord-equivalent, SURVEY.md §2b N1).
+//
+// The reference leans on decord's C++ FFmpeg wrapper for every video touch:
+// random-access get_batch, the _frame_pts table, and streaming cursor reads
+// (livecc-utils video_process_patch.py:40-42,79). This is the TPU build's
+// native equivalent: a small C API over libavformat/libavcodec/libswscale
+// exposed to Python via ctypes (no pybind11 in the image).
+//
+// Design:
+//   * open() demuxes the container once WITHOUT decoding, recording every
+//     video packet's pts + keyframe flag -> O(1)-RAM frame index sorted by
+//     display order (the _frame_pts equivalent).
+//   * get_batch(indices) decodes with a monotonic cursor: seek only when a
+//     target precedes the cursor or jumps far ahead; otherwise decode
+//     forward. Streaming reads (monotonically increasing 2-frame chunks)
+//     therefore never re-seek.
+//   * frames are converted to RGB24 (and optionally scaled) by libswscale
+//     inside the library — Python receives ready [T, H, W, 3] uint8.
+//   * encode_test_video() writes a synthetic clip with the built-in mpeg4
+//     encoder so tests need no external assets or ffmpeg binary.
+//
+// Build: make -C livecc_tpu/vision_io/native
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct FrameEntry {
+  int64_t pts;       // stream timebase units
+  bool keyframe;
+};
+
+struct Reader {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_index = -1;
+  AVRational time_base{1, 1};
+  double avg_fps = 0.0;
+  std::vector<FrameEntry> index;       // sorted by pts (display order)
+  // decode cursor
+  int64_t cursor_pts = INT64_MIN;      // pts of last decoded frame
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  SwsContext* sws = nullptr;
+  int sws_w = -1, sws_h = -1;
+  std::string error;
+};
+
+std::mutex g_mutex;
+std::unordered_map<int64_t, Reader*> g_readers;
+int64_t g_next_handle = 1;
+
+thread_local std::string tl_error;
+
+void set_error(const std::string& e) { tl_error = e; }
+
+int open_codec(Reader* r) {
+  AVStream* st = r->fmt->streams[r->stream_index];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  if (!dec) return -1;
+  r->codec = avcodec_alloc_context3(dec);
+  if (avcodec_parameters_to_context(r->codec, st->codecpar) < 0) return -1;
+  r->codec->thread_count = 2;  // mirrors decord num_threads=2
+  if (avcodec_open2(r->codec, dec, nullptr) < 0) return -1;
+  return 0;
+}
+
+// Decode forward until a frame with pts >= target is produced.
+// Returns 0 and leaves the frame in r->frame on success.
+int decode_until(Reader* r, int64_t target_pts) {
+  while (true) {
+    int ret = avcodec_receive_frame(r->codec, r->frame);
+    if (ret == 0) {
+      int64_t pts = r->frame->best_effort_timestamp;
+      if (pts == AV_NOPTS_VALUE) pts = r->frame->pts;
+      r->cursor_pts = pts;
+      if (pts >= target_pts) return 0;
+      continue;
+    }
+    if (ret == AVERROR(EAGAIN)) {
+      while (true) {
+        int rr = av_read_frame(r->fmt, r->pkt);
+        if (rr < 0) {
+          avcodec_send_packet(r->codec, nullptr);  // flush
+          break;
+        }
+        if (r->pkt->stream_index == r->stream_index) {
+          int sr = avcodec_send_packet(r->codec, r->pkt);
+          av_packet_unref(r->pkt);
+          if (sr < 0 && sr != AVERROR(EAGAIN)) return -1;
+          break;
+        }
+        av_packet_unref(r->pkt);
+      }
+      continue;
+    }
+    if (ret == AVERROR_EOF) {
+      // target beyond the last frame: keep the last decoded one if any
+      return r->cursor_pts != INT64_MIN ? 0 : -1;
+    }
+    return -1;
+  }
+}
+
+int seek_to(Reader* r, int64_t target_pts) {
+  if (av_seek_frame(r->fmt, r->stream_index, target_pts, AVSEEK_FLAG_BACKWARD) < 0)
+    return -1;
+  avcodec_flush_buffers(r->codec);
+  r->cursor_pts = INT64_MIN;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* vr_last_error() { return tl_error.c_str(); }
+
+int64_t vr_open(const char* path) {
+  Reader* r = new Reader();
+  if (avformat_open_input(&r->fmt, path, nullptr, nullptr) < 0) {
+    set_error(std::string("cannot open ") + path);
+    delete r;
+    return 0;
+  }
+  if (avformat_find_stream_info(r->fmt, nullptr) < 0) {
+    set_error("no stream info");
+    avformat_close_input(&r->fmt);
+    delete r;
+    return 0;
+  }
+  r->stream_index =
+      av_find_best_stream(r->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (r->stream_index < 0) {
+    set_error("no video stream");
+    avformat_close_input(&r->fmt);
+    delete r;
+    return 0;
+  }
+  AVStream* st = r->fmt->streams[r->stream_index];
+  r->time_base = st->time_base;
+  AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  r->avg_fps = fr.den ? av_q2d(fr) : 0.0;
+
+  // Pass 1: demux-only packet scan -> pts index in display order.
+  AVPacket* pkt = av_packet_alloc();
+  while (av_read_frame(r->fmt, pkt) >= 0) {
+    if (pkt->stream_index == r->stream_index) {
+      int64_t pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      r->index.push_back({pts, (pkt->flags & AV_PKT_FLAG_KEY) != 0});
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  std::sort(r->index.begin(), r->index.end(),
+            [](const FrameEntry& a, const FrameEntry& b) { return a.pts < b.pts; });
+  if (r->index.empty()) {
+    set_error("no frames");
+    avformat_close_input(&r->fmt);
+    delete r;
+    return 0;
+  }
+  av_seek_frame(r->fmt, r->stream_index, r->index.front().pts, AVSEEK_FLAG_BACKWARD);
+
+  if (open_codec(r) < 0) {
+    set_error("cannot open codec");
+    avformat_close_input(&r->fmt);
+    delete r;
+    return 0;
+  }
+  r->frame = av_frame_alloc();
+  r->pkt = av_packet_alloc();
+
+  std::lock_guard<std::mutex> lock(g_mutex);
+  int64_t h = g_next_handle++;
+  g_readers[h] = r;
+  return h;
+}
+
+int64_t vr_num_frames(int64_t handle) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_readers.find(handle);
+  return it == g_readers.end() ? -1 : (int64_t)it->second->index.size();
+}
+
+double vr_avg_fps(int64_t handle) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_readers.find(handle);
+  return it == g_readers.end() ? -1.0 : it->second->avg_fps;
+}
+
+int vr_frame_size(int64_t handle, int* out_h, int* out_w) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_readers.find(handle);
+  if (it == g_readers.end()) return -1;
+  *out_h = it->second->codec->height;
+  *out_w = it->second->codec->width;
+  return 0;
+}
+
+// Fills out[n] with per-frame PTS seconds (display order) — the reference's
+// vr._frame_pts[:, 1] table.
+int vr_pts_seconds(int64_t handle, double* out) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_readers.find(handle);
+  if (it == g_readers.end()) return -1;
+  Reader* r = it->second;
+  for (size_t i = 0; i < r->index.size(); ++i)
+    out[i] = r->index[i].pts * av_q2d(r->time_base);
+  return 0;
+}
+
+// Decode frames at the given display-order indices into out (RGB24,
+// [n, out_h, out_w, 3] C-contiguous). out_h/out_w of 0 mean native size.
+// Indices may repeat (FRAME_FACTOR padding) and must be non-decreasing for
+// the fast path; arbitrary order still works via seeks.
+int vr_get_batch(int64_t handle, const int64_t* indices, int64_t n,
+                 uint8_t* out, int out_h, int out_w) {
+  Reader* r;
+  {
+    std::lock_guard<std::mutex> lock(g_mutex);
+    auto it = g_readers.find(handle);
+    if (it == g_readers.end()) { set_error("bad handle"); return -1; }
+    r = it->second;
+  }
+  if (out_h <= 0) out_h = r->codec->height;
+  if (out_w <= 0) out_w = r->codec->width;
+  const size_t frame_bytes = (size_t)out_h * out_w * 3;
+
+  int64_t last_idx = INT64_MIN;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t idx = indices[i];
+    if (idx < 0 || idx >= (int64_t)r->index.size()) { set_error("index out of range"); return -1; }
+    if (idx == last_idx) {  // repeated frame: copy previous output
+      std::memcpy(out + i * frame_bytes, out + (i - 1) * frame_bytes, frame_bytes);
+      continue;
+    }
+    int64_t target = r->index[idx].pts;
+    if (target < r->cursor_pts || target == INT64_MIN) {
+      if (seek_to(r, target) < 0) { set_error("seek failed"); return -1; }
+    } else if (r->cursor_pts != INT64_MIN) {
+      // Far forward jump: seek if the nearest keyframe at/below target is
+      // ahead of the cursor (cheaper than decoding every frame between).
+      int64_t key_pts = INT64_MIN;
+      for (int64_t j = idx; j >= 0; --j) {
+        if (r->index[j].keyframe) { key_pts = r->index[j].pts; break; }
+      }
+      if (key_pts != INT64_MIN && key_pts > r->cursor_pts) {
+        if (seek_to(r, target) < 0) { set_error("seek failed"); return -1; }
+      }
+    }
+    if (r->cursor_pts == INT64_MIN || r->cursor_pts < target) {
+      if (decode_until(r, target) < 0) { set_error("decode failed"); return -1; }
+    }
+    // convert r->frame -> RGB24 (+scale)
+    if (!r->sws || r->sws_w != out_w || r->sws_h != out_h) {
+      if (r->sws) sws_freeContext(r->sws);
+      r->sws = sws_getContext(r->codec->width, r->codec->height,
+                              (AVPixelFormat)r->frame->format, out_w, out_h,
+                              AV_PIX_FMT_RGB24, SWS_BICUBIC, nullptr, nullptr, nullptr);
+      r->sws_w = out_w;
+      r->sws_h = out_h;
+      if (!r->sws) { set_error("sws_getContext failed"); return -1; }
+    }
+    uint8_t* dst[1] = {out + i * frame_bytes};
+    int dst_stride[1] = {out_w * 3};
+    sws_scale(r->sws, r->frame->data, r->frame->linesize, 0, r->codec->height,
+              dst, dst_stride);
+    last_idx = idx;
+  }
+  return 0;
+}
+
+void vr_close(int64_t handle) {
+  Reader* r = nullptr;
+  {
+    std::lock_guard<std::mutex> lock(g_mutex);
+    auto it = g_readers.find(handle);
+    if (it == g_readers.end()) return;
+    r = it->second;
+    g_readers.erase(it);
+  }
+  if (r->sws) sws_freeContext(r->sws);
+  if (r->frame) av_frame_free(&r->frame);
+  if (r->pkt) av_packet_free(&r->pkt);
+  if (r->codec) avcodec_free_context(&r->codec);
+  if (r->fmt) avformat_close_input(&r->fmt);
+  delete r;
+}
+
+// --- test-asset encoder (mpeg4, no external binaries needed) ---------------
+// frames: [n, h, w, 3] RGB24. fps must be > 0.
+int vr_encode_test_video(const char* path, const uint8_t* frames, int64_t n,
+                         int h, int w, int fps) {
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (!fmt) { set_error("alloc output"); return -1; }
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) { set_error("no mpeg4 encoder"); return -1; }
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* c = avcodec_alloc_context3(enc);
+  c->width = w;
+  c->height = h;
+  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  c->time_base = {1, fps};
+  c->framerate = {fps, 1};
+  c->gop_size = 12;
+  c->bit_rate = 2'000'000;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(c, enc, nullptr) < 0) { set_error("encoder open"); return -1; }
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    set_error("avio_open");
+    return -1;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) { set_error("write header"); return -1; }
+
+  SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
+                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                                   nullptr, nullptr);
+  AVFrame* fr = av_frame_alloc();
+  fr->format = AV_PIX_FMT_YUV420P;
+  fr->width = w;
+  fr->height = h;
+  av_frame_get_buffer(fr, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  auto flush = [&](AVFrame* f) -> int {
+    if (avcodec_send_frame(c, f) < 0) return -1;
+    while (true) {
+      int ret = avcodec_receive_packet(c, pkt);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+      if (ret < 0) return -1;
+      pkt->duration = 1;  // one frame in codec time_base (1/fps)
+      av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* src[1] = {frames + (size_t)i * h * w * 3};
+    int src_stride[1] = {w * 3};
+    av_frame_make_writable(fr);
+    sws_scale(sws, src, src_stride, 0, h, fr->data, fr->linesize);
+    fr->pts = i;
+    if (flush(fr) < 0) { set_error("encode"); return -1; }
+  }
+  flush(nullptr);
+  av_write_trailer(fmt);
+  sws_freeContext(sws);
+  av_frame_free(&fr);
+  av_packet_free(&pkt);
+  avcodec_free_context(&c);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+}  // extern "C"
