@@ -63,7 +63,7 @@ def main() -> None:
     # (1, 22, 40) grid = 880 patches = 220 LLM tokens.
     rng = np.random.RandomState(0)
     h, w = frame_hw
-    frames = lambda n, s: rng.randint(0, 255, size=(n, 3, h, w)).astype(np.float32)
+    frames = lambda n, s: rng.randint(0, 255, size=(n, h, w, 3), dtype=np.uint8)
 
     state = engine.new_stream()
     # initial 3 s chunk (6 frames) + query — also warms the init-bucket compile

@@ -3,13 +3,14 @@ from livecc_tpu.engine.generation import (
     decode_chunk,
     prefill,
     presence_from_ids,
+    update_counts,
     apply_repetition_penalty,
     select_token,
 )
 from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, TOKEN_BUCKETS, PATCH_BUCKET
 
 __all__ = [
-    "GenerationParams", "decode_chunk", "prefill", "presence_from_ids",
+    "GenerationParams", "decode_chunk", "prefill", "presence_from_ids", "update_counts",
     "apply_repetition_penalty", "select_token",
     "LiveCCEngine", "StreamState", "TOKEN_BUCKETS", "PATCH_BUCKET",
 ]

@@ -98,7 +98,28 @@ def presence_from_ids(ids: jnp.ndarray, valid_len: jnp.ndarray, vocab_size: int)
     return jnp.any(onehot & valid[..., None], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def update_counts(
+    counts: jnp.ndarray,       # [B, V] int32 token-occurrence counts
+    ids: jnp.ndarray,          # [B, Sb]
+    valid_len: jnp.ndarray,    # int32 scalar
+    remove_token: jnp.ndarray, # int32 scalar; -1 = nothing to remove
+) -> jnp.ndarray:
+    """Incremental repetition-penalty presence: add this chunk's tokens,
+    drop the previous chunk's final sampled token (it never entered the
+    history — reference past_ids = sequences[:, :-1] semantics).
+    Device-resident so streaming never rebuilds vocab-sized one-hots with
+    growing (recompiling) history shapes."""
+    b, sb = ids.shape
+    valid = (jnp.arange(sb)[None, :] < valid_len).astype(jnp.int32)
+    counts = counts.at[jnp.arange(b)[:, None], ids].add(valid)
+    rm = jnp.clip(remove_token, 0, counts.shape[1] - 1)
+    dec = jnp.where(remove_token >= 0, 1, 0)
+    return counts.at[:, rm].add(-dec)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_flash"), donate_argnames=("cache", "counts")
+)
 def prefill(
     params: Params,
     cfg: ModelConfig,
@@ -107,19 +128,27 @@ def prefill(
     valid_len: jnp.ndarray,      # int32 scalar — number of real tokens
     cache: KVCache,
     vision: Optional[VisionInputs] = None,
-) -> tuple[jnp.ndarray, KVCache]:
+    counts: Optional[jnp.ndarray] = None,       # [B, V] presence counts
+    remove_token: jnp.ndarray | None = None,    # int32 scalar, -1 = none
+    use_flash: bool = False,
+) -> tuple[jnp.ndarray, KVCache, Optional[jnp.ndarray]]:
     """Write a chunk into the cache; return fp32 logits at the last valid token."""
-    key_valid = jnp.arange(cache.max_len)[None, :] < (cache.offset + valid_len)
+    kv_limit = cache.offset + valid_len
+    key_valid = None if use_flash else (jnp.arange(cache.max_len)[None, :] < kv_limit)
     logits, new_cache = forward(
-        params, cfg, ids, position_ids, vision=vision, cache=cache, attention_mask=key_valid
+        params, cfg, ids, position_ids, vision=vision, cache=cache,
+        attention_mask=key_valid, kv_limit=kv_limit, use_flash=use_flash,
     )
     last = logits[jnp.arange(ids.shape[0]), valid_len - 1]          # [B, V]
     new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + valid_len)
-    return last, new_cache
+    if counts is not None:
+        counts = update_counts(counts, ids, valid_len,
+                               jnp.int32(-1) if remove_token is None else remove_token)
+    return last, new_cache, counts
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "gen"), donate_argnames=("cache",)
+    jax.jit, static_argnames=("cfg", "gen", "use_flash"), donate_argnames=("cache", "counts")
 )
 def decode_chunk(
     params: Params,
@@ -127,14 +156,15 @@ def decode_chunk(
     gen: GenerationParams,
     logits0: jnp.ndarray,        # [B, V] fp32 logits at the last prompt token
     cache: KVCache,
-    presence: jnp.ndarray,       # [B, V] bool — tokens seen so far (prompt incl.)
+    counts: jnp.ndarray,         # [B, V] int32 — token counts seen so far
     rope_delta: jnp.ndarray,     # int32 [B, 1]
     rng: jax.Array,
+    use_flash: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, KVCache, jnp.ndarray]:
     """Fused on-device decode of up to max_new_tokens.
 
     Returns (tokens [B, max_new] — pad after stop, n_generated [B],
-    cache — offset advanced by the number of forwarded tokens, presence).
+    cache — offset advanced by the number of forwarded tokens, counts).
     The last sampled token is sampled but never forwarded (reference
     ``past_ids`` semantics); its KV is absent from the cache.
     """
@@ -142,9 +172,9 @@ def decode_chunk(
     assert b == 1, "single-stream decode; batched serving uses serve/"
 
     def step(carry, i):
-        logits, cache, stopped, presence, key = carry
+        logits, cache, stopped, counts, key = carry
         key, sub = jax.random.split(key)
-        logits = apply_repetition_penalty(logits, presence, gen.repetition_penalty)
+        logits = apply_repetition_penalty(logits, counts > 0, gen.repetition_penalty)
         if gen.streaming_threshold_base >= 0 and gen.streaming_eos_token_id >= 0:
             threshold = gen.streaming_threshold_base + gen.streaming_threshold_step * i
             prob = jax.nn.softmax(logits, axis=-1)[:, gen.streaming_eos_token_id]
@@ -155,28 +185,28 @@ def decode_chunk(
         token = select_token(logits, gen, sub)                      # [B]
         token_out = jnp.where(stopped, gen.pad_token_id, token)
         now_stopped = stopped | (token == gen.eos_token_id) | (i == gen.max_new_tokens - 1)
-        presence = jnp.where(
-            stopped[:, None], presence,
-            presence | jax.nn.one_hot(token, presence.shape[1], dtype=jnp.bool_),
+        counts = counts.at[jnp.arange(counts.shape[0]), token].add(
+            jnp.where(stopped, 0, 1)
         )
         # Forward the sampled token unless generation has ended. When ended we
         # still execute the forward (static graph) but freeze the offset, so
         # the write lands on the free slot and is overwritten later.
         pos = continuation_pos(cache.offset, rope_delta, b)
         step_logits, new_cache = forward(
-            params, cfg, token[:, None], pos, cache=cache, compute_logits=True
+            params, cfg, token[:, None], pos, cache=cache,
+            kv_limit=cache.offset + 1, use_flash=use_flash, compute_logits=True,
         )
         advance = jnp.where(now_stopped.any(), 0, 1)
         new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + advance)
-        return (step_logits[:, -1], new_cache, now_stopped, presence, key), (token_out, ~stopped)
+        return (step_logits[:, -1], new_cache, now_stopped, counts, key), (token_out, ~stopped)
 
-    init = (logits0, cache, jnp.zeros((b,), jnp.bool_), presence, rng)
-    (_, cache, _, presence, _), (tokens, emitted) = lax.scan(
+    init = (logits0, cache, jnp.zeros((b,), jnp.bool_), counts, rng)
+    (_, cache, _, counts, _), (tokens, emitted) = lax.scan(
         step, init, jnp.arange(gen.max_new_tokens)
     )
     tokens = tokens.T                                               # [B, max_new]
     n_gen = jnp.sum(emitted.T, axis=-1).astype(jnp.int32)
-    return tokens, n_gen, cache, presence
+    return tokens, n_gen, cache, counts
 
 
 def continuation_pos(offset: jnp.ndarray, rope_delta: jnp.ndarray, batch: int) -> jnp.ndarray:

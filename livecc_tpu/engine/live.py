@@ -112,7 +112,6 @@ class LiveCC:
 
         rh, rw = session.resized_hw
         frames = session.reader.get_batch(idxs, out_hw=(rh, rw))       # [T,H,W,3] u8
-        frames = np.transpose(frames, (0, 3, 1, 2)).astype(np.float32)  # TCHW
 
         chunks: list[tuple[np.ndarray, np.ndarray]] = []
         if not initialized:
@@ -159,6 +158,5 @@ class LiveCC:
                                     budget=engine.budget)
             keep = np.linspace(0, len(idxs) - 1, nframes).round().astype(int)
             rh, rw = session.resized_hw
-            raw = session.reader.get_batch(idxs[keep], out_hw=(rh, rw))
-            frames = np.transpose(raw, (0, 3, 1, 2)).astype(np.float32)
+            frames = session.reader.get_batch(idxs[keep], out_hw=(rh, rw))
         return engine.qa_turn(session.stream, frames, message, gen)

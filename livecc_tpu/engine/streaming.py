@@ -31,20 +31,16 @@ import jax.numpy as jnp
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.data import chat
 from livecc_tpu.data.tokenizer import Tokenizer
-from livecc_tpu.engine.generation import (
-    GenerationParams,
-    decode_chunk,
-    prefill,
-    presence_from_ids,
-)
+from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill
 from livecc_tpu.models.qwen2_vl.model import (
     VisionInputs,
     get_rope_index,
     prepare_vision_inputs,
 )
 from livecc_tpu.models.qwen2_vl.text import KVCache
+from livecc_tpu.ops.rope import vision_rotary_cos_sin
 from livecc_tpu.vision_io.budget import VisionBudget
-from livecc_tpu.vision_io.patchify import patchify_video
+from livecc_tpu.vision_io.patchify import device_patchify
 
 Params = dict[str, Any]
 
@@ -61,16 +57,20 @@ def _bucket(n: int, buckets: Sequence[int] = TOKEN_BUCKETS) -> int:
 
 @dataclasses.dataclass
 class StreamState:
-    """Per-stream mutable state (host side)."""
+    """Per-stream state: device arrays + host-side shadows.
+
+    ``length`` mirrors cache.offset on the host so the streaming loop never
+    synchronizes on the device just to do bookkeeping; ``counts`` is the
+    device-resident repetition-penalty presence (no growing-shape rebuilds).
+    """
 
     cache: KVCache
+    counts: jnp.ndarray                      # [1, V] int32 token counts
     past_ids: list[int]
+    length: int = 0                          # host shadow of cache.offset
+    last_token: int = -1                     # prev chunk's dropped final token
     rope_delta: int | None = None            # set by the first prefill
     query_sent: bool = False
-    # live-mode video cursors (reference demo/infer.py:75-83)
-    last_timestamp: float | None = None
-    last_pts_index: int = 0
-    video_end: bool = False
 
 
 class LiveCCEngine:
@@ -89,6 +89,7 @@ class LiveCCEngine:
         budget: VisionBudget | None = None,
         cache_len: int = 8192,
         cache_dtype=jnp.float32,
+        use_flash: bool | None = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -101,6 +102,9 @@ class LiveCCEngine:
         ids = tokenizer.encode(" ...")
         self.streaming_eos_token_id = ids[-1]
         self._rng = jax.random.PRNGKey(0)
+        self._vision_aux_cache: dict = {}
+        # Pallas flash attention on TPU; XLA reference path elsewhere.
+        self.use_flash = (jax.default_backend() == "tpu") if use_flash is None else use_flash
 
     # ------------------------------------------------------------------
     # state management
@@ -108,10 +112,11 @@ class LiveCCEngine:
 
     def new_stream(self) -> StreamState:
         cache = KVCache.zeros(self.cfg.text, 1, self.cache_len, self.cache_dtype)
-        return StreamState(cache=cache, past_ids=[])
+        counts = jnp.zeros((1, self.cfg.text.vocab_size), jnp.int32)
+        return StreamState(cache=cache, counts=counts, past_ids=[])
 
     def _ensure_capacity(self, state: StreamState, needed: int) -> None:
-        off = int(state.cache.offset)
+        off = state.length
         cap = state.cache.max_len
         if off + needed <= cap:
             return
@@ -131,7 +136,7 @@ class LiveCCEngine:
     def chunk_step(
         self,
         state: StreamState,
-        frames: np.ndarray | None,          # [T, C, H, W] resized frames (T % 2 == 0) or None
+        frames: np.ndarray | None,          # [T, H, W, 3] uint8 pre-scaled frames or None
         t0: float,
         t1: float,
         query: str | None,
@@ -170,8 +175,7 @@ class LiveCCEngine:
         grid = None
         vision = None
         if frames is not None:
-            patches, grid = patchify_video(frames)
-            vision = self._bucketed_vision(patches, grid)
+            grid, vision = self._device_vision(frames)
         text = chat.render_chat([{"role": "user", "content": content}], add_generation_prompt=True)
         if state.rope_delta is not None:
             text = chat.strip_system_for_continuation(text, self.sys_offset)
@@ -180,21 +184,36 @@ class LiveCCEngine:
         new_ids = self.tokenizer.encode(text)
         return self._run_chunk(state, new_ids, vision, grid, gen)
 
-    def _bucketed_vision(self, patches: np.ndarray, grid) -> VisionInputs:
-        n = patches.shape[0]
+    def _device_vision(self, frames: np.ndarray):
+        """uint8 [T, H, W, 3] pre-scaled frames -> (grid_thw, VisionInputs).
+
+        Frames ship to the device as uint8; normalize+patchify run in one jit.
+        Rotary tables / segment ids are cached per (grid, pad) on device —
+        for a streaming video they are computed exactly once.
+        """
+        t, h, w, _ = frames.shape
+        grid = (max(t // self.cfg.vision.temporal_patch_size, 1),
+                h // self.cfg.vision.patch_size, w // self.cfg.vision.patch_size)
+        n = grid[0] * grid[1] * grid[2]
         n_pad = -n % PATCH_BUCKET
-        vis = prepare_vision_inputs(self.cfg, patches, [tuple(grid)])
-        if n_pad == 0:
-            return vis
-        pd = patches.shape[1]
-        hd = vis.cos.shape[1]
-        # padded patches join a dedicated segment (< 0), identity rotary
-        return VisionInputs(
-            patches=jnp.concatenate([vis.patches, jnp.zeros((n_pad, pd), vis.patches.dtype)]),
-            cos=jnp.concatenate([vis.cos, jnp.ones((n_pad, hd), vis.cos.dtype)]),
-            sin=jnp.concatenate([vis.sin, jnp.zeros((n_pad, hd), vis.sin.dtype)]),
-            seg_ids=jnp.concatenate([vis.seg_ids, jnp.full((n_pad,), -1, jnp.int32)]),
-        )
+        patches = device_patchify(jnp.asarray(frames), n_pad=n_pad)
+        key = (grid, n_pad)
+        aux = self._vision_aux_cache.get(key)
+        if aux is None:
+            cos, sin = vision_rotary_cos_sin(
+                [grid], self.cfg.vision.head_dim,
+                spatial_merge_size=self.cfg.vision.spatial_merge_size,
+            )
+            seg = np.repeat(np.arange(grid[0]), grid[1] * grid[2]).astype(np.int32)
+            if n_pad:
+                hd = cos.shape[1]
+                cos = np.concatenate([cos, np.ones((n_pad, hd), cos.dtype)])
+                sin = np.concatenate([sin, np.zeros((n_pad, hd), sin.dtype)])
+                seg = np.concatenate([seg, np.full((n_pad,), -1, np.int32)])
+            aux = (jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(seg))
+            self._vision_aux_cache[key] = aux
+        cos, sin, seg = aux
+        return grid, VisionInputs(patches=patches, cos=cos, sin=sin, seg_ids=seg)
 
     def _run_chunk(
         self,
@@ -209,7 +228,7 @@ class LiveCCEngine:
         self._ensure_capacity(state, bucket + gen.max_new_tokens + 1)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :n_new] = new_ids
-        offset = int(state.cache.offset)
+        offset = state.length
 
         if state.rope_delta is None:
             # First chunk: true 3D M-RoPE positions over the full prompt.
@@ -229,26 +248,26 @@ class LiveCCEngine:
                 (np.arange(bucket) + offset + state.rope_delta)[None, None], (3, 1, bucket)
             ).astype(np.int32)
 
-        logits0, state.cache = prefill(
+        logits0, state.cache, state.counts = prefill(
             self.params, self.cfg, jnp.asarray(ids), jnp.asarray(pos_pad),
             jnp.int32(n_new), state.cache, vision=vision,
-        )
-
-        all_ids = state.past_ids + new_ids
-        hist = np.asarray(all_ids + [0] * (-len(all_ids) % 128), np.int32)[None]
-        presence = presence_from_ids(
-            jnp.asarray(hist), jnp.int32(len(all_ids)), self.cfg.text.vocab_size
+            counts=state.counts, remove_token=jnp.int32(state.last_token),
+            use_flash=self.use_flash,
         )
         self._rng, sub = jax.random.split(self._rng)
-        tokens, n_gen, state.cache, _ = decode_chunk(
-            self.params, self.cfg, gen, logits0, state.cache, presence,
+        tokens, n_gen, state.cache, state.counts = decode_chunk(
+            self.params, self.cfg, gen, logits0, state.cache, state.counts,
             jnp.asarray([[state.rope_delta]], jnp.int32), sub,
+            use_flash=self.use_flash,
         )
         tokens = np.asarray(tokens)[0]
         n = int(n_gen[0])
         generated = tokens[:n].tolist()
-        # History keeps all but the final sampled token (demo/infer.py:174).
-        state.past_ids = all_ids + generated[:-1]
+        # History keeps all but the final sampled token (demo/infer.py:174);
+        # its presence count is removed at the next chunk's prefill.
+        state.past_ids = state.past_ids + new_ids + generated[:-1]
+        state.length = offset + n_new + max(n - 1, 0)
+        state.last_token = generated[-1] if generated else -1
         return self.tokenizer.decode(generated, skip_special_tokens=True)
 
     # ------------------------------------------------------------------
@@ -258,7 +277,7 @@ class LiveCCEngine:
     def live_cc_once_for_evaluation(
         self,
         query: str,
-        frames: np.ndarray,                  # [T, C, H, W] resized frames, strict-fps sampled
+        frames: np.ndarray,                  # [T, H, W, 3] uint8 pre-scaled, strict-fps sampled
         *,
         video_start: float = 0.0,
         max_new_tokens: int = 32,

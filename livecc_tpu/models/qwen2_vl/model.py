@@ -181,6 +181,8 @@ def forward(
     vision: Optional[VisionInputs] = None,
     cache: Optional[KVCache] = None,
     attention_mask: Optional[jnp.ndarray] = None,
+    kv_limit: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
     compute_logits: bool = True,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full multimodal forward. Returns (logits [B,S,V] fp32 or hidden, cache)."""
@@ -191,7 +193,8 @@ def forward(
         )
         embeds = scatter_video_embeds(cfg, embeds, input_ids, video_embeds)
     hidden, new_cache = text_forward(
-        params["text"], cfg.text, embeds, position_ids, cache=cache, attention_mask=attention_mask
+        params["text"], cfg.text, embeds, position_ids, cache=cache,
+        attention_mask=attention_mask, kv_limit=kv_limit, use_flash=use_flash,
     )
     if not compute_logits:
         return hidden, new_cache

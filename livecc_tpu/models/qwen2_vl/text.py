@@ -18,6 +18,7 @@ from jax import lax
 from livecc_tpu.core.config import TextConfig
 from livecc_tpu.ops.attention import causal_mask, kv_cache_mask, mha
 from livecc_tpu.ops.norms import rms_norm
+from livecc_tpu.ops.pallas.attention import flash_decode, flash_prefill
 from livecc_tpu.ops.rope import apply_mrope, mrope_cos_sin
 
 Params = dict[str, Any]
@@ -74,20 +75,33 @@ def text_forward(
     position_ids: jnp.ndarray,         # [3, B, S] int32
     cache: Optional[KVCache] = None,
     attention_mask: Optional[jnp.ndarray] = None,  # bool [B, S] (current tokens) or [B, Smax] (cache mode)
+    kv_limit: Optional[jnp.ndarray] = None,        # int32 scalar: keys < kv_limit valid (cache mode)
+    use_flash: bool = False,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
-    """Returns (final hidden states [B, S, H], updated cache or None)."""
+    """Returns (final hidden states [B, S, H], updated cache or None).
+
+    ``use_flash`` routes cached attention through the Pallas flash kernels
+    (ops/pallas/attention.py) — the TPU serving path; the XLA path is the
+    CPU/test reference. ``kv_limit`` bounds valid cache keys (defaults to
+    offset + S); in flash mode it replaces ``attention_mask``.
+    """
     b, s, h = inputs_embeds.shape
     hq, hk, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     cos, sin = mrope_cos_sin(position_ids, hd, cfg.rope_theta, cfg.mrope_section)
     cos = cos.astype(inputs_embeds.dtype)
     sin = sin.astype(inputs_embeds.dtype)
 
-    if cache is not None:
-        mask = kv_cache_mask(s, cache.max_len, cache.offset)[None, None]  # [1,1,S,Smax]
-    else:
-        mask = causal_mask(s)[None, None]                                  # [1,1,S,S]
-    if attention_mask is not None:
-        mask = mask & attention_mask[:, None, None, :]
+    flash = use_flash and cache is not None
+    mask = None
+    if not flash:
+        if cache is not None:
+            mask = kv_cache_mask(s, cache.max_len, cache.offset)[None, None]  # [1,1,S,Smax]
+        else:
+            mask = causal_mask(s)[None, None]                                  # [1,1,S,S]
+        if attention_mask is not None:
+            mask = mask & attention_mask[:, None, None, :]
+    if cache is not None and kv_limit is None:
+        kv_limit = cache.offset + s
 
     def block(x, xs):
         layer = xs[0] if cache is not None else xs
@@ -100,7 +114,13 @@ def text_forward(
             _, ck, cv = xs
             ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache.offset, 0, 0))
             cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache.offset, 0, 0))
-            attn = mha(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+            if flash and s == 1:
+                attn = flash_decode(q, ck.astype(q.dtype), cv.astype(q.dtype), kv_limit)
+            elif flash:
+                attn = flash_prefill(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                                     cache.offset, kv_limit)
+            else:
+                attn = mha(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
             ys = (ck, cv)
         else:
             attn = mha(q, k, v, mask=mask)

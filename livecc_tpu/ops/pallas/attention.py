@@ -1,0 +1,242 @@
+"""Pallas TPU flash attention for the streaming KV-cache path.
+
+N2-equivalent of the reference's flash-attn 2 CUDA dependency (SURVEY.md
+§2b): online-softmax attention that never materializes [Sq, Skv] scores.
+
+Two kernels, both over a *static-size* cache [B, Smax, Hk, D] with dynamic
+scalars (cache offset, valid length) — the shapes the bucketed streaming
+engine produces:
+
+  * ``flash_prefill`` — chunk queries appended at ``offset``; causal over
+    the cache. Grid (B, Hq, nq, nkv) with the kv dimension innermost and
+    running (m, l, acc) in VMEM scratch. KV blocks beyond the causal/valid
+    frontier are skipped (no FLOPs) and their HBM traffic is avoided by
+    clamping the kv index map to the last needed block.
+  * ``flash_decode`` — single-token step; q-heads grouped per KV head
+    ([G, D] x [bk, D] contractions), grid (B, Hk, nkv).
+
+fp32 softmax/accumulation, model-dtype inputs/outputs — matching the XLA
+reference path (ops/attention.mha) to fp32 tolerance; parity is tested in
+interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+# ---------------------------------------------------------------------------
+# prefill
+# ---------------------------------------------------------------------------
+
+def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                    *, bq: int, bk: int, scale: float, nkv: int):
+    iq = pl.program_id(2)
+    j = pl.program_id(3)
+    offset = s_ref[0]
+    kv_limit = s_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_hi = offset + iq * bq + bq - 1            # last global q position in block
+    block_needed = (j * bk <= q_hi) & (j * bk < kv_limit)
+
+    @pl.when(block_needed)
+    def _compute():
+        q = q_ref[0, :, 0, :]                    # [bq, D]
+        k = k_ref[0, :, 0, :]                    # [bk, D]
+        v = v_ref[0, :, 0, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                # [bq, bk]
+        qpos = offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        allowed = (kpos <= qpos) & (kpos < kv_limit)
+        s = jnp.where(allowed, s, NEG_INF)
+        m_prev = m_scr[:]                        # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                   # [bq, bk]
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    @pl.when(j == nkv - 1)
+    def _finalize():
+        l = l_scr[:]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0, :, 0, :] = (acc_scr[:] / safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bq", "bk", "interpret"),
+)
+def flash_prefill(
+    q: jnp.ndarray,            # [B, Sq, Hq, D]
+    k: jnp.ndarray,            # [B, Smax, Hk, D]
+    v: jnp.ndarray,
+    offset: jnp.ndarray,       # int32 scalar — queries start here
+    kv_limit: jnp.ndarray,     # int32 scalar — keys < kv_limit are valid
+    *,
+    bq: int = 128,
+    bk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, sq, hq, d = q.shape
+    smax, hk = k.shape[1], k.shape[2]
+    g = hq // hk
+    bq = min(bq, sq)
+    bk = min(bk, smax)
+    nq = pl.cdiv(sq, bq)
+    nkv = pl.cdiv(smax, bk)
+    scale = d ** -0.5
+    scalars = jnp.stack([offset.astype(jnp.int32), kv_limit.astype(jnp.int32)])
+
+    def q_map(bi, h, iq, j, s_ref):
+        return (bi, iq, h, 0)
+
+    def kv_map(bi, h, iq, j, s_ref):
+        # Clamp to the last block this (iq, j) sweep can need: avoids HBM
+        # traffic for the unused cache tail and beyond-causal blocks.
+        q_hi = s_ref[0] + iq * bq + bq - 1
+        last_needed = jnp.minimum(
+            jnp.maximum(jnp.minimum(q_hi, s_ref[1] - 1), 0) // bk, nkv - 1
+        )
+        return (bi, jnp.minimum(j, last_needed), h // g, 0)
+
+    def o_map(bi, h, iq, j, s_ref):
+        return (bi, iq, h, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hq, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, d), q_map),
+            pl.BlockSpec((1, bk, 1, d), kv_map),
+            pl.BlockSpec((1, bk, 1, d), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 1, d), o_map),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_prefill_kernel, bq=bq, bk=bk, scale=scale, nkv=nkv)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(scalars, q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# decode (single query token)
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                   *, bk: int, scale: float, nkv: int):
+    j = pl.program_id(2)
+    kv_limit = s_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j * bk < kv_limit)
+    def _compute():
+        q = q_ref[0, 0]                          # [G, D]
+        k = k_ref[0, :, 0, :]                    # [bk, D]
+        v = v_ref[0, :, 0, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                # [G, bk]
+        kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < kv_limit, s, NEG_INF)
+        m_prev = m_scr[:]                        # [G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    @pl.when(j == nkv - 1)
+    def _finalize():
+        l = l_scr[:]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0, 0] = (acc_scr[:] / safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bk", "interpret"))
+def flash_decode(
+    q: jnp.ndarray,            # [B, 1, Hq, D]
+    k: jnp.ndarray,            # [B, Smax, Hk, D]
+    v: jnp.ndarray,
+    kv_limit: jnp.ndarray,     # int32 scalar — keys < kv_limit are valid
+    *,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, sq, hq, d = q.shape
+    assert sq == 1
+    smax, hk = k.shape[1], k.shape[2]
+    g = hq // hk
+    bk = min(bk, smax)
+    nkv = pl.cdiv(smax, bk)
+    scale = d ** -0.5
+    qg = q.reshape(b, hk, g, d)
+    scalars = jnp.stack([kv_limit.astype(jnp.int32)])
+
+    def q_map(bi, h, j, s_ref):
+        return (bi, h, 0, 0)
+
+    def kv_map(bi, h, j, s_ref):
+        last_needed = jnp.minimum(jnp.maximum(s_ref[0] - 1, 0) // bk, nkv - 1)
+        return (bi, jnp.minimum(j, last_needed), h, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hk, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), q_map),
+            pl.BlockSpec((1, bk, 1, d), kv_map),
+            pl.BlockSpec((1, bk, 1, d), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_decode_kernel, bk=bk, scale=scale, nkv=nkv)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
+        interpret=interpret,
+    )(scalars, qg, k, v)
+    return out.reshape(b, 1, hq, d)

@@ -80,6 +80,29 @@ def patchify_video(
     return _patchify(frames, np, patch_size, temporal_patch_size, merge_size)
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad", "patch_size", "temporal_patch_size", "merge_size"))
+def device_patchify(
+    frames: jax.Array,         # [T, H, W, C] uint8 (native decoder layout, pre-scaled)
+    *,
+    n_pad: int = 0,
+    patch_size: int = PATCH_SIZE,
+    temporal_patch_size: int = TEMPORAL_PATCH_SIZE,
+    merge_size: int = MERGE_SIZE,
+) -> jax.Array:
+    """Device path for streaming: normalize + patchify pre-scaled frames.
+
+    Ships uint8 frames to the device (4x less transfer than fp32 patches)
+    and keeps the bandwidth-bound normalize/patchify on the TPU. ``n_pad``
+    zero rows pad the output to the engine's static patch bucket.
+    """
+    x = jnp.transpose(frames, (0, 3, 1, 2)).astype(jnp.float32)  # TCHW
+    x = normalize_frames(x, xp=jnp)
+    flat, _ = _patchify(x, jnp, patch_size, temporal_patch_size, merge_size)
+    if n_pad:
+        flat = jnp.pad(flat, ((0, n_pad), (0, 0)))
+    return flat
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "patch_size", "temporal_patch_size", "merge_size"))
 def device_preprocess(
     frames: jax.Array,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from livecc_tpu.core.config import tiny_config
-from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill, presence_from_ids
+from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill
 from livecc_tpu.models import qwen2_vl as m
 from livecc_tpu.models.qwen2_vl.text import KVCache
 
@@ -45,20 +45,19 @@ def run_prefill(params, cfg, ids, grid=None, patches=None, cache_len=128, bucket
     if patches is not None:
         vis = m.prepare_vision_inputs(cfg, patches, [tuple(x) for x in grid])
     cache = KVCache.zeros(cfg.text, 1, cache_len)
-    logits0, cache = prefill(
-        params, cfg, jnp.asarray(ids_p), jnp.asarray(pos_p), jnp.int32(n), cache, vision=vis
+    counts = jnp.zeros((1, cfg.text.vocab_size), jnp.int32)
+    logits0, cache, counts = prefill(
+        params, cfg, jnp.asarray(ids_p), jnp.asarray(pos_p), jnp.int32(n), cache,
+        vision=vis, counts=counts,
     )
-    return logits0, cache, int(delta[0, 0])
+    return logits0, cache, int(delta[0, 0]), counts
 
 
-def greedy_gen(params, cfg, logits0, cache, ids, delta, max_new):
+def greedy_gen(params, cfg, logits0, cache, counts, delta, max_new):
     gen = GenerationParams(max_new_tokens=max_new, eos_token_id=cfg.eos_token_id,
                            pad_token_id=cfg.pad_token_id)
-    hist = np.zeros((1, 64), np.int32)
-    hist[0, :ids.shape[1]] = ids[0]
-    presence = presence_from_ids(jnp.asarray(hist), jnp.int32(ids.shape[1]), cfg.text.vocab_size)
     tokens, n_gen, cache, _ = decode_chunk(
-        params, cfg, gen, logits0, cache, presence,
+        params, cfg, gen, logits0, cache, counts,
         jnp.asarray([[delta]], jnp.int32), jax.random.PRNGKey(0),
     )
     return np.asarray(tokens)[0][: int(n_gen[0])], cache
@@ -67,8 +66,8 @@ def greedy_gen(params, cfg, logits0, cache, ids, delta, max_new):
 def test_greedy_generate_multimodal_parity(setup):
     g, params, cfg = setup
     ids, patches, grid = g["mm_ids"], g["mm_patches"], g["mm_grid"]
-    logits0, cache, delta = run_prefill(params, cfg, ids, grid, patches)
-    generated, _ = greedy_gen(params, cfg, logits0, cache, ids, delta, max_new=12)
+    logits0, cache, delta, counts = run_prefill(params, cfg, ids, grid, patches)
+    generated, _ = greedy_gen(params, cfg, logits0, cache, counts, delta, max_new=12)
     hf_tail = g["gen_ids"][0, ids.shape[1]:]
     np.testing.assert_array_equal(generated, hf_tail)
 
@@ -76,8 +75,8 @@ def test_greedy_generate_multimodal_parity(setup):
 def test_greedy_generate_text_parity(setup):
     g, params, cfg = setup
     ids = g["text_ids"]
-    logits0, cache, delta = run_prefill(params, cfg, ids)
-    generated, _ = greedy_gen(params, cfg, logits0, cache, ids, delta, max_new=12)
+    logits0, cache, delta, counts = run_prefill(params, cfg, ids)
+    generated, _ = greedy_gen(params, cfg, logits0, cache, counts, delta, max_new=12)
     hf_tail = g["gen_text_ids"][0, ids.shape[1]:]
     np.testing.assert_array_equal(generated, hf_tail)
 
@@ -86,7 +85,7 @@ def test_cache_continuation_logits_parity(setup):
     """Chunk-2 prefill over the cache matches HF's cached forward exactly."""
     g, params, cfg = setup
     ids, patches, grid = g["mm_ids"], g["mm_patches"], g["mm_grid"]
-    _, cache, delta = run_prefill(params, cfg, ids, grid, patches)
+    _, cache, delta, _ = run_prefill(params, cfg, ids, grid, patches)
     ids2 = g["cont_ids2"]
     suffix = ids2[:, ids.shape[1]:]
     s = suffix.shape[1]
@@ -109,17 +108,17 @@ def test_chunked_prefill_equals_full(setup):
     full = np.concatenate([ids, extra], axis=1)
 
     # full prefill
-    logits_full, _, _ = run_prefill(params, cfg, full, grid, patches, bucket=32)
+    logits_full, _, _, _ = run_prefill(params, cfg, full, grid, patches, bucket=32)
 
     # chunked: mm chunk then text chunk
-    _, cache, delta = run_prefill(params, cfg, ids, grid, patches, bucket=32)
+    _, cache, delta, _ = run_prefill(params, cfg, ids, grid, patches, bucket=32)
     off = int(cache.offset)
     s = extra.shape[1]
     bucket = 32
     ids_p = np.zeros((1, bucket), np.int32)
     ids_p[0, :s] = extra[0]
     pos_p = np.broadcast_to((np.arange(bucket) + off + delta)[None, None], (3, 1, bucket)).astype(np.int32)
-    logits_chunk, cache = prefill(
+    logits_chunk, cache, _ = prefill(
         params, cfg, jnp.asarray(ids_p), jnp.asarray(np.ascontiguousarray(pos_p)),
         jnp.int32(s), cache,
     )
@@ -130,8 +129,8 @@ def test_chunked_prefill_equals_full(setup):
 def test_prefill_padding_invariance(setup):
     g, params, cfg = setup
     ids = g["text_ids"]
-    l32, _, _ = run_prefill(params, cfg, ids, bucket=32)
-    l64, _, _ = run_prefill(params, cfg, ids, bucket=64)
+    l32 = run_prefill(params, cfg, ids, bucket=32)[0]
+    l64 = run_prefill(params, cfg, ids, bucket=64)[0]
     np.testing.assert_allclose(np.asarray(l32), np.asarray(l64), atol=1e-5, rtol=1e-5)
 
 

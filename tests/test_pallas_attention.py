@@ -1,0 +1,62 @@
+"""Pallas flash attention vs the XLA reference (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from livecc_tpu.ops.attention import kv_cache_mask, mha
+from livecc_tpu.ops.pallas.attention import flash_decode, flash_prefill
+
+
+def make_case(seed, b=1, smax=512, hq=4, hk=2, d=64, sq=128, offset=100, valid=None):
+    rng = np.random.RandomState(seed)
+    q = rng.randn(b, sq, hq, d).astype(np.float32)
+    k = rng.randn(b, smax, hk, d).astype(np.float32)
+    v = rng.randn(b, smax, hk, d).astype(np.float32)
+    valid = sq if valid is None else valid
+    return (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.int32(offset), jnp.int32(offset + valid))
+
+
+def reference(q, k, v, offset, kv_limit):
+    sq = q.shape[1]
+    smax = k.shape[1]
+    mask = kv_cache_mask(sq, smax, offset)[None, None]
+    mask = mask & (jnp.arange(smax) < kv_limit)[None, None, None, :]
+    return mha(q, k, v, mask=mask)
+
+
+@pytest.mark.parametrize("offset,sq,valid", [(0, 128, 128), (100, 128, 128), (100, 128, 70), (37, 64, 64)])
+def test_flash_prefill_matches_reference(offset, sq, valid):
+    q, k, v, off, limit = make_case(0, sq=sq, offset=offset, valid=valid)
+    out = flash_prefill(q, k, v, off, limit, bq=32, bk=64, interpret=True)
+    ref = reference(q, k, v, off, limit)
+    # compare only valid query rows (pad rows are undefined garbage)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :valid], np.asarray(ref)[:, :valid], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_flash_prefill_bf16():
+    q, k, v, off, limit = make_case(1, sq=64, offset=64, valid=64)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = flash_prefill(qb, kb, vb, off, limit, bq=32, bk=64, interpret=True)
+    ref = reference(qb, kb, vb, off, limit)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
+@pytest.mark.parametrize("kv_len", [1, 37, 512])
+def test_flash_decode_matches_reference(kv_len):
+    rng = np.random.RandomState(2)
+    b, smax, hq, hk, d = 1, 512, 4, 2, 64
+    q = jnp.asarray(rng.randn(b, 1, hq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, smax, hk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, smax, hk, d).astype(np.float32))
+    out = flash_decode(q, k, v, jnp.int32(kv_len), bk=128, interpret=True)
+    mask = (jnp.arange(smax) < kv_len)[None, None, None, :]
+    ref = mha(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

@@ -29,7 +29,7 @@ def engine():
 
 def synth_frames(n, h=28, w=28, seed=0):
     rng = np.random.RandomState(seed)
-    return rng.randint(0, 255, size=(n, 3, h, w)).astype(np.float32)
+    return rng.randint(0, 255, size=(n, h, w, 3), dtype=np.uint8)
 
 
 def test_offline_streaming_commentary(engine):
