@@ -1,0 +1,83 @@
+"""Training entry point (reference train.py equivalent).
+
+Usage:
+  python -m livecc_tpu.train.cli \
+      --annotation_paths pt.jsonl sft.jsonl \
+      --pretrained /path/to/hf_checkpoint \
+      --output_dir out --learning_rate 2e-5 --total_steps 1000 \
+      --accum_steps 64 --freeze_modules visual
+
+Loads the model from an HF checkpoint dir (config.json + safetensors +
+tokenizer.json), freezes the named modules (default: the visual tower,
+reference train.py:17-19), builds the seek-indexed streaming dataset and
+runs the sharded trainer with resume-by-default (train.py:29 semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--annotation_paths", nargs="+", required=True)
+    parser.add_argument("--pretrained", default=None, help="HF checkpoint dir; omit for tiny random init (smoke)")
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--learning_rate", type=float, default=2e-5)
+    parser.add_argument("--warmup_ratio", type=float, default=0.03)
+    parser.add_argument("--total_steps", type=int, default=1000)
+    parser.add_argument("--accum_steps", type=int, default=64)
+    parser.add_argument("--save_steps", type=int, default=1000)
+    parser.add_argument("--log_steps", type=int, default=10)
+    parser.add_argument("--freeze_modules", nargs="*", default=["visual"])
+    parser.add_argument("--with_context", action="store_true")
+    parser.add_argument("--overwrite_output_dir", action="store_true",
+                        help="start fresh instead of resuming (train.py:29)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from livecc_tpu.core.config import tiny_config
+    from livecc_tpu.data.lmm_dataset import LMMDataset
+    from livecc_tpu.data.tokenizer import ByteTokenizer, HFTokenizer
+    from livecc_tpu.models.qwen2_vl.convert import config_from_hf_json, load_safetensors_dir
+    from livecc_tpu.models.qwen2_vl.model import init_params
+    from livecc_tpu.train.step import TrainConfig
+    from livecc_tpu.train.trainer import Trainer, TrainerConfig
+
+    if args.pretrained:
+        cfg = config_from_hf_json(args.pretrained)
+        params = load_safetensors_dir(args.pretrained, cfg, dtype=jnp.bfloat16)
+        tokenizer = HFTokenizer(args.pretrained)
+    else:
+        cfg = tiny_config()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        tokenizer = ByteTokenizer()
+
+    dataset = LMMDataset(
+        annotation_paths=args.annotation_paths, tokenizer=tokenizer, cfg=cfg,
+        with_context=args.with_context,
+    )
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        warmup_ratio=args.warmup_ratio,
+        total_steps=args.total_steps,
+        freeze_modules=tuple(args.freeze_modules),
+    )
+    run = TrainerConfig(
+        output_dir=args.output_dir,
+        total_steps=args.total_steps,
+        accum_steps=args.accum_steps,
+        save_steps=args.save_steps,
+        log_steps=args.log_steps,
+        resume=not args.overwrite_output_dir,
+    )
+    trainer = Trainer(params, cfg, tcfg, run, dataset)
+    last = trainer.train()
+    print(last)
+    return last
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Dataset (seek-index, streaming interleave, label masking) + trainer loop."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from livecc_tpu.core.config import tiny_config
+from livecc_tpu.data.lmm_dataset import (
+    LMMDataset,
+    get_phrase_before_timestamp,
+    read_last_line,
+    write_seek_index,
+)
+from livecc_tpu.data.tokenizer import ByteTokenizer
+from livecc_tpu.vision_io import video_reader as vr
+
+pytestmark = pytest.mark.skipif(not vr.is_available(), reason="native decoder unavailable")
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    vids = []
+    for i in range(2):
+        path = str(root / f"v{i}.mp4")
+        rng = np.random.RandomState(i)
+        vr.encode_test_video(path, rng.randint(0, 255, (60, 56, 56, 3), dtype=np.uint8), fps=10)
+        vids.append(path)
+    rows = []
+    for i, vid in enumerate(vids):
+        words = [[t * 0.5, t * 0.5 + 0.4, f"w{t}"] for t in range(10)]
+        rows.append([
+            {"role": "user", "content": [
+                {"type": "video", "video": vid},
+                {"type": "text", "text": f"describe {i}"},
+            ]},
+            {"role": "assistant", "content": [{"type": "text", "text_stream": words}]},
+        ])
+    # one non-streaming QA row
+    rows.append([
+        {"role": "user", "content": [
+            {"type": "video", "video": vids[0]},
+            {"type": "text", "text": "what happens?"},
+        ]},
+        {"role": "assistant", "content": [{"type": "text", "text": "something happens"}]},
+    ])
+    path = str(root / "anns.jsonl")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    write_seek_index(path)
+    return path
+
+
+def test_seek_index_roundtrip(corpus):
+    seeks = json.loads(read_last_line(corpus))
+    assert len(seeks) == 3
+    with open(corpus) as f:
+        f.seek(seeks[1])
+        row = json.loads(f.readline())
+    assert row[0]["role"] == "user"
+
+
+def test_phrase_alignment():
+    stream = [[0.0, 0.4, "a"], [0.5, 0.9, "b"], [1.0, 1.4, "c"]]
+    phrase, cur = get_phrase_before_timestamp(stream, 0.95)
+    assert phrase == "a b" and cur == 2
+    phrase2, cur2 = get_phrase_before_timestamp(stream, 2.0, start_from=cur)
+    assert phrase2 == "c"
+
+
+@pytest.fixture(scope="module")
+def dataset(corpus):
+    cfg = tiny_config()
+    return LMMDataset(
+        annotation_paths=[corpus], tokenizer=ByteTokenizer(), cfg=cfg, max_retries=3
+    )
+
+
+def test_streaming_sample_structure(dataset):
+    cfg = dataset.cfg
+    x = dataset[0]
+    ids, labels = x["input_ids"][0], x["labels"][0]
+    assert x["pixel_patches"] is not None
+    # video token count matches grids
+    n_vid = sum(t * h * w // 4 for t, h, w in x["video_grid_thw"])
+    assert (ids == cfg.video_token_id).sum() == n_vid
+    # supervised positions exist, all inside assistant spans, and every
+    # supervised token matches input (labels are a masked copy)
+    sup = labels != -100
+    assert sup.any()
+    np.testing.assert_array_equal(labels[sup], ids[sup])
+    # ' ...' marker is supervised (streaming-continue signal)
+    tok = ByteTokenizer()
+    text = tok.decode(labels[sup].tolist())
+    assert "..." in text
+    # no video token is supervised
+    assert not ((ids == cfg.video_token_id) & sup).any()
+    # multiple interleave rounds: > 2 user turns worth of im_starts
+    assert (ids == cfg.im_start_token_id).sum() >= 3
+    # position ids are full 3D (vision span has distinct t/h/w rows)
+    pos = x["position_ids"]
+    vid_pos = pos[:, 0, ids == cfg.video_token_id]
+    assert not np.array_equal(vid_pos[0], vid_pos[1])
+
+
+def test_plain_sample_and_retry(dataset, corpus):
+    x = dataset[2]
+    assert x["pixel_patches"] is not None
+    sup = x["labels"][0] != -100
+    tok = ByteTokenizer()
+    assert "something happens" in tok.decode(x["labels"][0][sup].tolist())
+
+    # corrupt row: __getitem__ retries onto another sample
+    bad = LMMDataset(
+        annotation_paths=[corpus], tokenizer=ByteTokenizer(), cfg=dataset.cfg, max_retries=5
+    )
+    bad.handles[1] = (corpus, 10**9)  # out-of-range seek -> empty line -> error
+    out = bad[1]
+    assert out["input_ids"].shape[1] > 0
+
+
+def test_trainer_save_resume(dataset, tmp_path):
+    import jax
+
+    from livecc_tpu.models.qwen2_vl.model import init_params
+    from livecc_tpu.train.step import TrainConfig
+    from livecc_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = dataset.cfg
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tcfg = TrainConfig(learning_rate=1e-4, total_steps=4, ce_chunk_size=128)
+    run = TrainerConfig(output_dir=str(tmp_path), total_steps=2, accum_steps=2,
+                        save_steps=2, log_steps=1)
+    tr = Trainer(params, cfg, tcfg, run, dataset)
+    last = tr.train()
+    assert last["step"] == 2 and np.isfinite(last["loss"])
+    assert os.path.exists(os.path.join(str(tmp_path), "log.jsonl"))
+
+    # resume: a fresh trainer picks up step 2 and does nothing more
+    tr2 = Trainer(init_params(cfg, jax.random.PRNGKey(1)), cfg, tcfg, run, dataset)
+    assert tr2.step == 2
+    # restored params equal the saved ones (not the fresh init)
+    a = np.asarray(jax.tree_util.tree_leaves(tr.params)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(tr2.params)[0])
+    np.testing.assert_array_equal(a, b)
