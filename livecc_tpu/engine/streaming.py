@@ -123,7 +123,7 @@ class LiveCCEngine:
         new_cap = cap
         while off + needed > new_cap:
             new_cap *= 2
-        k = jnp.zeros(state.cache.k.shape[:2] + (new_cap,) + state.cache.k.shape[3:], self.cache_dtype)
+        k = jnp.zeros(state.cache.k.shape[:3] + (new_cap,) + state.cache.k.shape[4:], self.cache_dtype)
         v = jnp.zeros_like(k)
         k = jax.lax.dynamic_update_slice(k, state.cache.k, (0, 0, 0, 0, 0))
         v = jax.lax.dynamic_update_slice(v, state.cache.v, (0, 0, 0, 0, 0))

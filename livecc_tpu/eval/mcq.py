@@ -1,0 +1,192 @@
+"""Distributed MCQ predictor: single-forward letter scoring.
+
+Re-implements the reference's generic MCQ harness
+(evaluation/distributed_mcq_predictor.py) TPU-style:
+
+  * each item renders as a chat conversation [video + question + options]
+    with the answer prefix (default ``Answer:``) appended AFTER the
+    generation prompt (reference :52-70) — the model is scored, not sampled;
+  * ONE forward per item: logits at the last real token, argmax restricted
+    to the option letters' token ids (ids of ``tokenizer(': X')[-1]``,
+    reference :72-73,90);
+  * items are batched over padded sequence buckets and sharded along the
+    mesh data axis (the torchrun/Trainer.predict replacement); multi-host
+    runs shard items by stride and merge result files (reference
+    idx[rank::world] pattern).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from livecc_tpu.core.config import ModelConfig
+from livecc_tpu.data import chat
+from livecc_tpu.data.tokenizer import Tokenizer
+from livecc_tpu.models.qwen2_vl.model import VisionInputs, forward, get_rope_index, prepare_vision_inputs
+from livecc_tpu.vision_io.budget import VisionBudget, linspace_sample, smart_nframes
+from livecc_tpu.vision_io.patchify import patchify_video
+
+Params = dict[str, Any]
+
+SEQ_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
+@dataclasses.dataclass
+class MCQItem:
+    """One multiple-choice question over a video."""
+
+    video: str                         # path
+    question: str
+    options: list[str]                 # rendered option lines ("A. ...", ...)
+    answer: str | None = None          # gold letter
+    meta: dict = dataclasses.field(default_factory=dict)
+    subtitles: str | None = None
+    video_start: float | None = None
+    video_end: float | None = None
+
+
+def build_mcq_text(item: MCQItem, answer_prefix: str = "Answer:") -> str:
+    """Conversation text with the scored-answer prefix after the generation
+    prompt (reference distributed_mcq_predictor.py:33-50,63-66)."""
+    lines = [item.question, *item.options]
+    content = []
+    if item.subtitles:
+        content.append({"type": "text", "text": f"Subtitles: {item.subtitles}\n"})
+    content.append({"type": "video", "video": item.video})
+    content.append({
+        "type": "text",
+        "text": "\n".join(lines) + "\nAnswer with the option's letter from the given choices directly.",
+    })
+    text = chat.render_chat([{"role": "user", "content": content}], add_generation_prompt=True)
+    return text + answer_prefix
+
+
+def letter_token_ids(tokenizer: Tokenizer, letters: Sequence[str]) -> list[int]:
+    """Token id of each letter as it appears after 'Answer:' (reference :90)."""
+    return [tokenizer.encode(f": {letter}")[-1] for letter in letters]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mcq_logits_at_last(
+    params: Params,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,                 # [B, S] right-padded
+    position_ids: jnp.ndarray,        # [3, B, S]
+    attention_mask: jnp.ndarray,      # [B, S] bool
+    last_idx: jnp.ndarray,            # [B] index of last real token
+    letter_ids: jnp.ndarray,          # [L]
+    vision: Optional[VisionInputs] = None,
+) -> jnp.ndarray:
+    """Returns [B] argmax index into ``letter_ids``."""
+    logits, _ = forward(params, cfg, ids, position_ids, vision=vision,
+                        attention_mask=attention_mask)
+    last = logits[jnp.arange(ids.shape[0]), last_idx]           # [B, V]
+    return jnp.argmax(last[:, letter_ids], axis=-1)
+
+
+class MCQPredictor:
+    """Batched single-forward MCQ scoring over a video benchmark."""
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: ModelConfig,
+        tokenizer: Tokenizer,
+        *,
+        budget: VisionBudget | None = None,
+        max_frames: int | None = 64,
+        video_loader=None,
+        answer_prefix: str = "Answer:",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.budget = budget or VisionBudget()
+        self.max_frames = max_frames
+        self.answer_prefix = answer_prefix
+        if video_loader is None:
+            from livecc_tpu.vision_io.video_reader import VideoReader
+            video_loader = VideoReader
+        self.video_loader = video_loader
+
+    def _read_video(self, item: MCQItem):
+        reader = self.video_loader(item.video)
+        pts = reader.pts_seconds
+        base = np.arange(len(pts))
+        if item.video_start is not None or item.video_end is not None:
+            lo = pts[0] if not item.video_start else item.video_start
+            hi = pts[-1] if not item.video_end else item.video_end
+            base = np.where((pts >= lo) & (pts <= hi))[0]
+        n = smart_nframes(len(base), reader.avg_fps,
+                          max_frames=self.max_frames, budget=self.budget)
+        idxs = base[linspace_sample(len(base), n)]
+        h, w = reader.frame_size
+        rh, rw = self.budget.spatial_target(h, w, nframes=n)
+        return reader.get_batch(idxs, out_hw=(rh, rw))
+
+    def encode_item(self, item: MCQItem) -> dict:
+        frames = self._read_video(item)
+        patches, grid = patchify_video(np.transpose(frames, (0, 3, 1, 2)))
+        text = build_mcq_text(item, self.answer_prefix)
+        text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])
+        ids = np.asarray(self.tokenizer.encode(text), np.int32)[None]
+        pos, _ = get_rope_index(self.cfg, ids, video_grid_thw=np.asarray([grid]))
+        return {"ids": ids, "pos": pos, "patches": patches, "grid": grid}
+
+    def predict(
+        self,
+        items: Sequence[MCQItem],
+        letters: Sequence[str] = ("A", "B", "C", "D"),
+        batch_size: int = 1,
+    ) -> list[str]:
+        """Predicted letter per item (single-host; shard items externally)."""
+        lids = jnp.asarray(letter_token_ids(self.tokenizer, letters), jnp.int32)
+        out: list[str] = []
+        for start in range(0, len(items), batch_size):
+            group = [self.encode_item(x) for x in items[start:start + batch_size]]
+            out.extend(self._predict_group(group, lids, letters))
+        return out
+
+    def _predict_group(self, group: list[dict], lids, letters) -> list[str]:
+        b = len(group)
+        s = _bucket(max(g["ids"].shape[1] for g in group))
+        ids = np.zeros((b, s), np.int32)
+        pos = np.zeros((3, b, s), np.int32)
+        mask = np.zeros((b, s), bool)
+        last = np.zeros((b,), np.int32)
+        patches, grids = [], []
+        for i, g in enumerate(group):
+            n = g["ids"].shape[1]
+            ids[i, :n] = g["ids"][0]
+            pos[:, i, :n] = g["pos"][:, 0]
+            pos[:, i, n:] = pos[:, i, n - 1:n] + np.arange(1, s - n + 1)
+            mask[i, :n] = True
+            last[i] = n - 1
+            patches.append(g["patches"])
+            grids.append(g["grid"])
+        vision = prepare_vision_inputs(self.cfg, np.concatenate(patches), grids)
+        pred = mcq_logits_at_last(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(mask), jnp.asarray(last), lids, vision=vision,
+        )
+        return [letters[int(i)] for i in np.asarray(pred)]
+
+
+def _bucket(n: int) -> int:
+    for b in SEQ_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"sequence of {n} tokens exceeds {SEQ_BUCKETS[-1]}")
+
+
+def shard_indices(n: int, worker: int, num_workers: int) -> list[int]:
+    """Reference worker sharding: idxs[worker::num_workers]
+    (distributed_generate_livecc.py:50-51)."""
+    return list(range(worker, n, num_workers))

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from livecc_tpu.core.config import TextConfig
-from livecc_tpu.ops.attention import causal_mask, kv_cache_mask, mha
+from livecc_tpu.ops.attention import causal_mask, kv_cache_mask, mha, mha_bhsd
 from livecc_tpu.ops.norms import rms_norm
 from livecc_tpu.ops.pallas.attention import flash_decode, flash_prefill
 from livecc_tpu.ops.rope import apply_mrope, mrope_cos_sin
@@ -27,19 +27,23 @@ Params = dict[str, Any]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Static-size KV cache. ``offset`` = number of valid tokens."""
+    """Static-size KV cache in attention layout. ``offset`` = valid tokens.
 
-    k: jnp.ndarray         # [L, B, Smax, Hk, D]
-    v: jnp.ndarray         # [L, B, Smax, Hk, D]
+    Layout [L, B, Hk, Smax, D] keeps the sequence dimension second-to-last so
+    Pallas kernels tile it directly (TPU blocks must tile the trailing two
+    dims) and cache updates/attention reads need no transposes."""
+
+    k: jnp.ndarray         # [L, B, Hk, Smax, D]
+    v: jnp.ndarray         # [L, B, Hk, Smax, D]
     offset: jnp.ndarray    # int32 scalar
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @staticmethod
     def zeros(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
-        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
 
 
@@ -112,15 +116,19 @@ def text_forward(
         q, k = apply_mrope(q, k, cos, sin)
         if cache is not None:
             _, ck, cv = xs
-            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache.offset, 0, 0))
-            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache.offset, 0, 0))
+            kt = jnp.swapaxes(k, 1, 2).astype(ck.dtype)   # [B, Hk, s, D]
+            vt = jnp.swapaxes(v, 1, 2).astype(cv.dtype)
+            ck = lax.dynamic_update_slice(ck, kt, (0, 0, cache.offset, 0))
+            cv = lax.dynamic_update_slice(cv, vt, (0, 0, cache.offset, 0))
+            qt = jnp.swapaxes(q, 1, 2)                     # [B, Hq, s, D]
             if flash and s == 1:
-                attn = flash_decode(q, ck.astype(q.dtype), cv.astype(q.dtype), kv_limit)
+                attn = flash_decode(qt, ck.astype(q.dtype), cv.astype(q.dtype), kv_limit)
             elif flash:
-                attn = flash_prefill(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                attn = flash_prefill(qt, ck.astype(q.dtype), cv.astype(q.dtype),
                                      cache.offset, kv_limit)
             else:
-                attn = mha(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+                attn = mha_bhsd(qt, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+            attn = jnp.swapaxes(attn, 1, 2)                # back to [B, s, Hq, D]
             ys = (ck, cv)
         else:
             attn = mha(q, k, v, mask=mask)

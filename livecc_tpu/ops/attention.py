@@ -45,6 +45,28 @@ def mha(
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+def mha_bhsd(
+    q: jnp.ndarray,                 # [B, Hq, Sq, D]
+    k: jnp.ndarray,                 # [B, Hk, Skv, D]
+    v: jnp.ndarray,                 # [B, Hk, Skv, D]
+    mask: jnp.ndarray | None = None,  # bool, broadcastable to [B, Hq, Sq, Skv]
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """BHSD-layout reference attention (cache-friendly layout on TPU)."""
+    b, hq, sq, d = q.shape
+    hk = k.shape[1]
+    if hq != hk:
+        rep = hq // hk
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    scale = d ** -0.5 if scale is None else scale
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
 def causal_mask(sq: int, skv: int | None = None) -> jnp.ndarray:
     """[Sq, Skv] lower-triangular mask (queries aligned to the cache tail)."""
     skv = sq if skv is None else skv

@@ -3,9 +3,10 @@
 N2-equivalent of the reference's flash-attn 2 CUDA dependency (SURVEY.md
 §2b): online-softmax attention that never materializes [Sq, Skv] scores.
 
-Two kernels, both over a *static-size* cache [B, Smax, Hk, D] with dynamic
-scalars (cache offset, valid length) — the shapes the bucketed streaming
-engine produces:
+Layout: BHSD — q [B, Hq, Sq, D], cache k/v [B, Hk, Smax, D] — so the
+sequence and head dims land in the trailing block positions TPU tiles
+require, and the cache needs no transposes. Two kernels over a *static*
+cache with dynamic scalars (cache offset, valid length):
 
   * ``flash_prefill`` — chunk queries appended at ``offset``; causal over
     the cache. Grid (B, Hq, nq, nkv) with the kv dimension innermost and
@@ -16,8 +17,8 @@ engine produces:
     ([G, D] x [bk, D] contractions), grid (B, Hk, nkv).
 
 fp32 softmax/accumulation, model-dtype inputs/outputs — matching the XLA
-reference path (ops/attention.mha) to fp32 tolerance; parity is tested in
-interpreter mode on CPU.
+reference path (ops/attention.mha_bhsd) to fp32 tolerance; parity is tested
+in interpreter mode on CPU and exercised compiled on TPU by bench.py.
 """
 
 from __future__ import annotations
@@ -54,9 +55,9 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(block_needed)
     def _compute():
-        q = q_ref[0, :, 0, :]                    # [bq, D]
-        k = k_ref[0, :, 0, :]                    # [bk, D]
-        v = v_ref[0, :, 0, :]
+        q = q_ref[0, 0]                          # [bq, D]
+        k = k_ref[0, 0]                          # [bk, D]
+        v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                # [bq, bk]
@@ -80,7 +81,7 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     def _finalize():
         l = l_scr[:]
         safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0, :, 0, :] = (acc_scr[:] / safe).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[:] / safe).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -88,8 +89,8 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     static_argnames=("bq", "bk", "interpret"),
 )
 def flash_prefill(
-    q: jnp.ndarray,            # [B, Sq, Hq, D]
-    k: jnp.ndarray,            # [B, Smax, Hk, D]
+    q: jnp.ndarray,            # [B, Hq, Sq, D]
+    k: jnp.ndarray,            # [B, Hk, Smax, D]
     v: jnp.ndarray,
     offset: jnp.ndarray,       # int32 scalar — queries start here
     kv_limit: jnp.ndarray,     # int32 scalar — keys < kv_limit are valid
@@ -98,8 +99,8 @@ def flash_prefill(
     bk: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    b, sq, hq, d = q.shape
-    smax, hk = k.shape[1], k.shape[2]
+    b, hq, sq, d = q.shape
+    hk, smax = k.shape[1], k.shape[2]
     g = hq // hk
     bq = min(bq, sq)
     bk = min(bk, smax)
@@ -109,7 +110,7 @@ def flash_prefill(
     scalars = jnp.stack([offset.astype(jnp.int32), kv_limit.astype(jnp.int32)])
 
     def q_map(bi, h, iq, j, s_ref):
-        return (bi, iq, h, 0)
+        return (bi, h, iq, 0)
 
     def kv_map(bi, h, iq, j, s_ref):
         # Clamp to the last block this (iq, j) sweep can need: avoids HBM
@@ -118,20 +119,17 @@ def flash_prefill(
         last_needed = jnp.minimum(
             jnp.maximum(jnp.minimum(q_hi, s_ref[1] - 1), 0) // bk, nkv - 1
         )
-        return (bi, jnp.minimum(j, last_needed), h // g, 0)
-
-    def o_map(bi, h, iq, j, s_ref):
-        return (bi, iq, h, 0)
+        return (bi, h // g, jnp.minimum(j, last_needed), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hq, nq, nkv),
         in_specs=[
-            pl.BlockSpec((1, bq, 1, d), q_map),
-            pl.BlockSpec((1, bk, 1, d), kv_map),
-            pl.BlockSpec((1, bk, 1, d), kv_map),
+            pl.BlockSpec((1, 1, bq, d), q_map),
+            pl.BlockSpec((1, 1, bk, d), kv_map),
+            pl.BlockSpec((1, 1, bk, d), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, d), o_map),
+        out_specs=pl.BlockSpec((1, 1, bq, d), q_map),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -165,8 +163,8 @@ def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     @pl.when(j * bk < kv_limit)
     def _compute():
         q = q_ref[0, 0]                          # [G, D]
-        k = k_ref[0, :, 0, :]                    # [bk, D]
-        v = v_ref[0, :, 0, :]
+        k = k_ref[0, 0]                          # [bk, D]
+        v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                # [G, bk]
@@ -192,21 +190,22 @@ def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
 @functools.partial(jax.jit, static_argnames=("bk", "interpret"))
 def flash_decode(
-    q: jnp.ndarray,            # [B, 1, Hq, D]
-    k: jnp.ndarray,            # [B, Smax, Hk, D]
+    q: jnp.ndarray,            # [B, Hq, 1, D]
+    k: jnp.ndarray,            # [B, Hk, Smax, D]
     v: jnp.ndarray,
     kv_limit: jnp.ndarray,     # int32 scalar — keys < kv_limit are valid
     *,
     bk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    b, sq, hq, d = q.shape
+    b, hq, sq, d = q.shape
     assert sq == 1
-    smax, hk = k.shape[1], k.shape[2]
+    hk, smax = k.shape[1], k.shape[2]
     g = hq // hk
     bk = min(bk, smax)
     nkv = pl.cdiv(smax, bk)
     scale = d ** -0.5
+    # [B, Hq, 1, D] -> [B, Hk, G, D]: group q heads by their KV head.
     qg = q.reshape(b, hk, g, d)
     scalars = jnp.stack([kv_limit.astype(jnp.int32)])
 
@@ -215,15 +214,15 @@ def flash_decode(
 
     def kv_map(bi, h, j, s_ref):
         last_needed = jnp.minimum(jnp.maximum(s_ref[0] - 1, 0) // bk, nkv - 1)
-        return (bi, jnp.minimum(j, last_needed), h, 0)
+        return (bi, h, jnp.minimum(j, last_needed), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hk, nkv),
         in_specs=[
             pl.BlockSpec((1, 1, g, d), q_map),
-            pl.BlockSpec((1, bk, 1, d), kv_map),
-            pl.BlockSpec((1, bk, 1, d), kv_map),
+            pl.BlockSpec((1, 1, bk, d), kv_map),
+            pl.BlockSpec((1, 1, bk, d), kv_map),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), q_map),
         scratch_shapes=[
@@ -239,4 +238,4 @@ def flash_decode(
         out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
         interpret=interpret,
     )(scalars, qg, k, v)
-    return out.reshape(b, 1, hq, d)
+    return out.reshape(b, hq, 1, d)

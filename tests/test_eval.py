@@ -1,0 +1,155 @@
+"""Eval harnesses: MCQ single-forward scoring, benchmark drivers, judge."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from livecc_tpu.core.config import tiny_config
+from livecc_tpu.data.tokenizer import ByteTokenizer
+from livecc_tpu.eval import MCQItem, MCQPredictor, letter_token_ids
+from livecc_tpu.eval import livesports3kcc, mvbench, ovobench, videomme
+from livecc_tpu.models import qwen2_vl as m
+from livecc_tpu.vision_io import video_reader as vr
+
+pytestmark = pytest.mark.skipif(not vr.is_available(), reason="native decoder unavailable")
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "hf_tiny.npz")
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("eval")
+    vids = []
+    for i in range(2):
+        path = str(root / f"v{i}.mp4")
+        rng = np.random.RandomState(i)
+        vr.encode_test_video(path, rng.randint(0, 255, (40, 56, 56, 3), dtype=np.uint8), fps=10)
+        vids.append(path)
+    g = np.load(GOLDEN)
+    cfg = tiny_config()
+    state = {k[len("state::"):]: g[k] for k in g.files if k.startswith("state::")}
+    params = m.convert_state_dict(state, cfg)
+    predictor = MCQPredictor(params, cfg, ByteTokenizer(), max_frames=4)
+    return predictor, vids, str(root)
+
+
+def test_letter_ids_and_prediction(setup):
+    predictor, vids, _ = setup
+    tok = ByteTokenizer()
+    lids = letter_token_ids(tok, ("A", "B", "C", "D"))
+    assert lids == [tok.encode(x)[-1] for x in ("A", "B", "C", "D")]
+    items = [
+        MCQItem(video=vids[0], question="What?", options=["A. x", "B. y", "C. z", "D. w"]),
+        MCQItem(video=vids[1], question="Which?", options=["A. 1", "B. 2", "C. 3", "D. 4"]),
+    ]
+    preds = predictor.predict(items)
+    assert len(preds) == 2 and all(p in "ABCD" for p in preds)
+    # determinism
+    assert predictor.predict(items) == preds
+
+
+def test_videomme_roundtrip(setup):
+    predictor, vids, root = setup
+    rows = [
+        {"video": vids[i % 2], "question": f"q{i}", "options": ["A. a", "B. b", "C. c", "D. d"],
+         "answer": "A", "duration": ["short", "medium", "long"][i % 3],
+         "domain": "Sports", "sub_category": "x", "task_type": "Perception",
+         "video_id": f"vid{i}", "question_id": str(i)}
+        for i in range(4)
+    ]
+    bench = os.path.join(root, "videomme.jsonl")
+    with open(bench, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    # two workers, stride-sharded, idempotent merge
+    out = os.path.join(root, "vm_out")
+    assert videomme.run(predictor, bench, out, worker=0, num_workers=2) is None
+    report = videomme.run(predictor, bench, out, worker=1, num_workers=2)
+    assert report is not None and "overall" in report and report["n"] == 4
+    assert set(report["duration"]) <= {"short", "medium", "long"}
+
+
+def test_videomme_letter_extraction():
+    f = videomme.extract_letter
+    assert f("A") == "A"
+    assert f("(B)") == "B"
+    assert f("C.") == "C"
+    assert f("The answer is: D") == "D"
+    assert f("Answer: A because ...") == "A"
+    assert f("I think B is right") == "B"
+    assert f("") is None
+
+
+def test_mvbench_roundtrip(setup):
+    predictor, vids, root = setup
+    rows = [
+        {"video": vids[0], "question": "which?", "candidates": ["cat", "dog", "fox"],
+         "answer": "dog", "task_type": "Action"},
+        {"video": vids[1], "question": "what?", "candidates": ["red", "blue"],
+         "answer": "red", "task_type": "Object"},
+    ]
+    bench = os.path.join(root, "mvbench.jsonl")
+    with open(bench, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    report = mvbench.run(predictor, bench, os.path.join(root, "mv_out"))
+    assert report and set(report["task_type"]) == {"Action", "Object"}
+
+
+def test_ovobench_flatten_and_score():
+    rows = [
+        {"task": "REC", "video": "v.mp4", "test_info": [
+            {"question": "count?", "answer": "3", "realtime": 5.0},
+            {"question": "count?", "answer": "4", "realtime": 8.0},
+        ]},
+        {"task": "STU", "video": "v.mp4", "question": "now?", "answer": "Yes", "realtime": 2.0},
+    ]
+    flat = ovobench.flatten_annotations(rows)
+    assert len(flat) == 3
+    assert flat[0]["video_end"] == 5.0 and flat[2]["task"] == "STU"
+    items = [MCQItem(video="v", question="q", options=[], answer=a, meta={"task": t})
+             for a, t in [("3", "REC"), ("4", "REC"), ("Yes", "STU")]]
+    report = ovobench.score(items, ["3", "0", "Yes"])
+    assert report["task"]["REC"] == 50.0
+    assert report["realtime"] == 100.0
+    assert report["forward"] == 50.0
+
+
+def test_livesports_cc_generation_and_judge(setup, tmp_path):
+    from livecc_tpu.engine import LiveCCEngine
+
+    predictor, vids, root = setup
+    engine = LiveCCEngine(predictor.params, predictor.cfg, ByteTokenizer(), cache_len=512)
+    events = [
+        {"video_id": "v0", "event_id": "e0", "begin": 0.0, "end": 4.0,
+         "title": "Game", "preASR": "previously...", "video": vids[0]},
+    ]
+
+    def read_clip(event):
+        rng = np.random.RandomState(0)
+        return rng.randint(0, 255, (8, 28, 28, 3), dtype=np.uint8)
+
+    merged = livesports3kcc.generate(engine, events, str(tmp_path), read_clip=read_clip,
+                                     max_new_tokens=4)
+    assert merged and os.path.exists(merged)
+    rows = [json.loads(l) for l in open(merged)]
+    assert rows[0]["event_id"] == "e0" and isinstance(rows[0]["pred"], str)
+    # resume: second call does no work but returns the merged file
+    assert livesports3kcc.generate(engine, events, str(tmp_path), read_clip=read_clip) == merged
+
+    # judge with a deterministic fake LLM preferring the longer commentary
+    llm = lambda prompt: "A" if len(prompt.split("Commentary A: ")[1].split("\n")[0]) >= \
+        len(prompt.split("Commentary B: ")[1].split("\n")[0]) else "B"
+    rate = livesports3kcc.win_rate(
+        llm, {"e0": "long detailed commentary"}, {"e0": "short"}, {"e0": "ground truth"}
+    )
+    assert rate == 1.0
+
+
+def test_prompt_and_join():
+    q = livesports3kcc.build_commentary_query("Match", "he shoots", instruct=True)
+    assert "Match" in q and "he shoots" in q and "commentator" in q
+    joined = livesports3kcc.join_commentary([[0, 1, "hello ..."], [1, 2, " ..."], [2, 3, "world"]])
+    assert joined == "hello world"

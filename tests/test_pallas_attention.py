@@ -6,26 +6,26 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from livecc_tpu.ops.attention import kv_cache_mask, mha
+from livecc_tpu.ops.attention import kv_cache_mask, mha_bhsd
 from livecc_tpu.ops.pallas.attention import flash_decode, flash_prefill
 
 
 def make_case(seed, b=1, smax=512, hq=4, hk=2, d=64, sq=128, offset=100, valid=None):
     rng = np.random.RandomState(seed)
-    q = rng.randn(b, sq, hq, d).astype(np.float32)
-    k = rng.randn(b, smax, hk, d).astype(np.float32)
-    v = rng.randn(b, smax, hk, d).astype(np.float32)
+    q = rng.randn(b, hq, sq, d).astype(np.float32)
+    k = rng.randn(b, hk, smax, d).astype(np.float32)
+    v = rng.randn(b, hk, smax, d).astype(np.float32)
     valid = sq if valid is None else valid
     return (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
             jnp.int32(offset), jnp.int32(offset + valid))
 
 
 def reference(q, k, v, offset, kv_limit):
-    sq = q.shape[1]
-    smax = k.shape[1]
+    sq = q.shape[2]
+    smax = k.shape[2]
     mask = kv_cache_mask(sq, smax, offset)[None, None]
     mask = mask & (jnp.arange(smax) < kv_limit)[None, None, None, :]
-    return mha(q, k, v, mask=mask)
+    return mha_bhsd(q, k, v, mask=mask)
 
 
 @pytest.mark.parametrize("offset,sq,valid", [(0, 128, 128), (100, 128, 128), (100, 128, 70), (37, 64, 64)])
@@ -35,7 +35,7 @@ def test_flash_prefill_matches_reference(offset, sq, valid):
     ref = reference(q, k, v, off, limit)
     # compare only valid query rows (pad rows are undefined garbage)
     np.testing.assert_allclose(
-        np.asarray(out)[:, :valid], np.asarray(ref)[:, :valid], atol=2e-5, rtol=1e-4
+        np.asarray(out)[:, :, :valid], np.asarray(ref)[:, :, :valid], atol=2e-5, rtol=1e-4
     )
 
 
@@ -53,10 +53,10 @@ def test_flash_prefill_bf16():
 def test_flash_decode_matches_reference(kv_len):
     rng = np.random.RandomState(2)
     b, smax, hq, hk, d = 1, 512, 4, 2, 64
-    q = jnp.asarray(rng.randn(b, 1, hq, d).astype(np.float32))
-    k = jnp.asarray(rng.randn(b, smax, hk, d).astype(np.float32))
-    v = jnp.asarray(rng.randn(b, smax, hk, d).astype(np.float32))
+    q = jnp.asarray(rng.randn(b, hq, 1, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, hk, smax, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, hk, smax, d).astype(np.float32))
     out = flash_decode(q, k, v, jnp.int32(kv_len), bk=128, interpret=True)
     mask = (jnp.arange(smax) < kv_len)[None, None, None, :]
-    ref = mha(q, k, v, mask=mask)
+    ref = mha_bhsd(q, k, v, mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
