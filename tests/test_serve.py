@@ -1,0 +1,85 @@
+"""Multi-stream server: batched steady-state execution == single-stream engine."""
+
+import os
+
+import numpy as np
+import pytest
+
+from livecc_tpu.core.config import tiny_config
+from livecc_tpu.data.tokenizer import ByteTokenizer
+from livecc_tpu.engine import GenerationParams, LiveCCEngine
+from livecc_tpu.models import qwen2_vl as m
+from livecc_tpu.serve.scheduler import StreamServer
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "hf_tiny.npz")
+
+
+def build_engine():
+    g = np.load(GOLDEN)
+    cfg = tiny_config()
+    state = {k[len("state::"):]: g[k] for k in g.files if k.startswith("state::")}
+    params = m.convert_state_dict(state, cfg)
+    return LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=512)
+
+
+def frames(seed, n=2):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 255, size=(n, 28, 28, 3), dtype=np.uint8)
+
+
+def gen_for(engine, max_new=4):
+    return GenerationParams(max_new_tokens=max_new, eos_token_id=engine.cfg.eos_token_id,
+                            pad_token_id=engine.cfg.pad_token_id)
+
+
+def test_batched_matches_single_stream():
+    # single-stream reference trace
+    engine_a = build_engine()
+    gen = gen_for(engine_a)
+    state = engine_a.new_stream()
+    ref = []
+    ref.append(engine_a.chunk_step(state, frames(0, 6), 0.0, 3.0, "q", gen))
+    ref.append(engine_a.chunk_step(state, frames(1), 3.0, 4.0, None, gen))
+    ref.append(engine_a.chunk_step(state, frames(2), 4.0, 5.0, None, gen))
+
+    # server with two concurrent streams; stream 0 gets the same inputs
+    engine_b = build_engine()
+    server = StreamServer(engine_b, gen_for(engine_b))
+    s0 = server.add_stream((28, 28), query="q")
+    s1 = server.add_stream((28, 28), query="other")
+    server.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+    server.submit_chunk(s1, frames(9, 6), 0.0, 3.0)
+    assert server.tick() == 2
+    server.submit_chunk(s0, frames(1), 3.0, 4.0)
+    server.submit_chunk(s1, frames(8), 3.0, 4.0)
+    assert server.tick() == 2
+    server.submit_chunk(s0, frames(2), 4.0, 5.0)
+    server.submit_chunk(s1, frames(7), 4.0, 5.0)
+    server.tick()
+
+    out0 = [text for _, text in server.drain(s0)]
+    out1 = [text for _, text in server.drain(s1)]
+    assert out0 == ref, (out0, ref)
+    assert len(out1) == 3
+    # streams are independent: different inputs -> (almost surely) different state
+    st0 = server._streams[s0].state
+    st1 = server._streams[s1].state
+    assert st0.length != st1.length or st0.past_ids != st1.past_ids
+
+
+def test_stream_join_and_remove():
+    engine = build_engine()
+    server = StreamServer(engine, gen_for(engine))
+    s0 = server.add_stream((28, 28), query="q")
+    server.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+    server.tick()
+    # a new stream joins later: its init chunk runs solo while s0 batches
+    s1 = server.add_stream((28, 28), query="late")
+    server.submit_chunk(s0, frames(1), 3.0, 4.0)
+    server.submit_chunk(s1, frames(2, 6), 0.0, 3.0)
+    assert server.tick() == 2
+    assert len(server.drain(s0)) == 2
+    assert len(server.drain(s1)) == 1
+    server.remove_stream(s1)
+    server.submit_chunk(s0, frames(3), 4.0, 5.0)
+    assert server.tick() == 1
