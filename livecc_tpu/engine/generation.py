@@ -160,6 +160,7 @@ def decode_chunk(
     rope_delta: jnp.ndarray,     # int32 [B, 1]
     rng: jax.Array,
     use_flash: bool = False,
+    active: jnp.ndarray | None = None,   # bool scalar; False = no-op slot
 ) -> tuple[jnp.ndarray, jnp.ndarray, KVCache, jnp.ndarray]:
     """Fused on-device decode of up to max_new_tokens.
 
@@ -200,7 +201,8 @@ def decode_chunk(
         new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + advance)
         return (step_logits[:, -1], new_cache, now_stopped, counts, key), (token_out, ~stopped)
 
-    init = (logits0, cache, jnp.zeros((b,), jnp.bool_), counts, rng)
+    stopped0 = jnp.zeros((b,), jnp.bool_) if active is None else jnp.broadcast_to(~active, (b,))
+    init = (logits0, cache, stopped0, counts, rng)
     (_, cache, _, counts, _), (tokens, emitted) = lax.scan(
         step, init, jnp.arange(gen.max_new_tokens)
     )

@@ -39,7 +39,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[-2]  # also correct for pool-stacked caches
 
     @staticmethod
     def zeros(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":

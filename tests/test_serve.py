@@ -62,9 +62,9 @@ def test_batched_matches_single_stream():
     assert out0 == ref, (out0, ref)
     assert len(out1) == 3
     # streams are independent: different inputs -> (almost surely) different state
-    st0 = server._streams[s0].state
-    st1 = server._streams[s1].state
-    assert st0.length != st1.length or st0.past_ids != st1.past_ids
+    st0 = server._streams[s0]
+    st1 = server._streams[s1]
+    assert st0.length != st1.length or out0 != out1
 
 
 def test_stream_join_and_remove():
