@@ -103,6 +103,8 @@ class LiveCCEngine:
         self.streaming_eos_token_id = ids[-1]
         self._rng = jax.random.PRNGKey(0)
         self._vision_aux_cache: dict = {}
+        from livecc_tpu.utils.metrics import LatencyTracker
+        self.metrics = LatencyTracker()
         # Pallas flash attention on TPU; XLA reference path elsewhere.
         self.use_flash = (jax.default_backend() == "tpu") if use_flash is None else use_flash
 
@@ -143,6 +145,10 @@ class LiveCCEngine:
         gen: GenerationParams,
     ) -> str:
         """Run one interleave step; returns decoded new text."""
+        with self.metrics.measure("chunk_step"):
+            return self._chunk_step(state, frames, t0, t1, query, gen)
+
+    def _chunk_step(self, state, frames, t0, t1, query, gen) -> str:
         content: list[dict] = [{"type": "text", "text": f"Time={t0:.1f}-{t1:.1f}s"}]
         if frames is not None:
             content.append({"type": "video", "video": None})

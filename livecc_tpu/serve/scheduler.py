@@ -170,6 +170,10 @@ class StreamServer:
 
     def tick(self) -> int:
         """Execute all pending chunks; returns number of chunks processed."""
+        with self.engine.metrics.measure("serve_tick"):
+            return self._tick()
+
+    def _tick(self) -> int:
         ready = [s for s in self._streams.values() if s.pending is not None]
         if not ready:
             return 0

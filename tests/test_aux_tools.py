@@ -1,0 +1,123 @@
+"""Aux pipeline: ASD tracking/windowing, ASR sharding, subtitles, captions, metrics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from livecc_tpu.tools import asd, asr
+from livecc_tpu.eval import subtitles
+
+
+def test_box_iou_and_nms():
+    a = np.asarray([[0, 0, 10, 10]], float)
+    b = np.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], float)
+    ious = asd.box_iou(a, b)[0]
+    assert ious[0] == pytest.approx(1.0)
+    assert ious[1] == pytest.approx(25 / 175)
+    assert ious[2] == 0.0
+    boxes = np.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]], float)
+    keep = asd.nms(boxes, np.asarray([0.9, 0.8, 0.7]))
+    assert list(keep) == [0, 2]
+
+
+def test_face_tracker_association():
+    tr = asd.FaceTracker(iou_threshold=0.3)
+    # two faces moving slowly; one disappears
+    for i in range(5):
+        boxes = [[0 + i, 0, 10 + i, 10], [50, 50, 60, 60]]
+        if i >= 3:
+            boxes = boxes[:1]
+        tr.update(i, np.asarray(boxes, float))
+    lens = sorted(len(t.frames) for t in tr.tracks)
+    assert len(tr.tracks) == 2 and lens == [3, 5]
+
+
+def test_windowing_and_ratio():
+    assert asd.window_indices(2000) == [(0, 150), (750, 900), (1500, 1650)]
+    frames = np.zeros((300, 16, 16, 3), np.uint8)
+    # a single steady face that the scorer calls 'talking'
+    detect = lambda f: (np.asarray([[2, 2, 10, 10]], float), np.asarray([0.9]))
+    ratio = asd.talking_ratio(frames, detect, lambda t, f: 0.9, window=100, stride=150)
+    assert ratio == 1.0
+    assert not asd.keep_clip(ratio)
+    ratio2 = asd.talking_ratio(frames, detect, lambda t, f: 0.1, window=100, stride=150)
+    assert ratio2 == 0.0 and asd.keep_clip(ratio2)
+
+
+def test_mfcc_shape():
+    audio = np.sin(np.linspace(0, 1000, 16000)).astype(np.float32)
+    feats = asd.mfcc(audio)
+    assert feats.shape[1] == 13 and np.isfinite(feats).all()
+
+
+def test_asr_sharding_and_resume(tmp_path):
+    # node-level contiguous chunks, worker stride within
+    idx = asr.node_worker_shard(10, worker=0, num_workers=2, node=0, num_nodes=2)
+    assert idx == [0, 2, 4]
+    idx = asr.node_worker_shard(10, worker=1, num_workers=2, node=1, num_nodes=2)
+    assert idx == [6, 8]
+    calls = []
+    fake = lambda p: (calls.append(p) or [(0.0, 0.5, "hi")])
+    vids = [f"v{i}.mp4" for i in range(4)]
+    outs = asr.transcribe_corpus(vids, fake, str(tmp_path), worker=0, num_workers=1)
+    assert len(outs) == 4 and len(calls) == 4
+    # resume: nothing re-transcribed
+    calls.clear()
+    asr.transcribe_corpus(vids, fake, str(tmp_path))
+    assert calls == []
+    words = json.load(open(outs[0]))
+    assert words == [[0.0, 0.5, "hi"]]
+
+
+def test_srt_parse_and_merge(tmp_path):
+    srt = tmp_path / "vid1.srt"
+    srt.write_text(
+        "1\n00:00:01,000 --> 00:00:02,500\nHello <i>world</i>\n\n"
+        "2\n00:00:03,000 --> 00:00:04,000\nsecond line\n"
+    )
+    entries = subtitles.parse_srt(str(srt))
+    assert entries[0]["start"] == 1.0 and entries[0]["text"] == "Hello world"
+    bench = tmp_path / "b.jsonl"
+    bench.write_text(json.dumps({"video_id": "vid1", "question": "q"}) + "\n" +
+                     json.dumps({"video_id": "vid2", "question": "q"}) + "\n")
+    out = tmp_path / "b_sub.jsonl"
+    n = subtitles.add_subtitles(str(bench), str(tmp_path), str(out))
+    assert n == 1
+    rows = [json.loads(l) for l in open(out)]
+    assert "Hello world" in rows[0]["subtitles"] and "subtitles" not in rows[1]
+
+
+def test_caption_generation(tmp_path):
+    from livecc_tpu.core.config import tiny_config
+    from livecc_tpu.data.tokenizer import ByteTokenizer
+    from livecc_tpu.engine import LiveCCEngine
+    from livecc_tpu.eval.captions import generate_captions
+    from livecc_tpu.models import qwen2_vl as m
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens", "hf_tiny.npz"))
+    cfg = tiny_config()
+    state = {k[len("state::"):]: g[k] for k in g.files if k.startswith("state::")}
+    params = m.convert_state_dict(state, cfg)
+    engine = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=512)
+    events = [{"video_id": "v", "event_id": "e0"}]
+    read_clip = lambda e: np.random.RandomState(0).randint(0, 255, (4, 28, 28, 3), dtype=np.uint8)
+    merged = generate_captions(engine, events, str(tmp_path), read_clip=read_clip,
+                               max_new_tokens=4)
+    assert merged
+    row = json.loads(open(merged).readline())
+    assert row["event_id"] == "e0" and isinstance(row["caption"], str)
+
+
+def test_latency_tracker():
+    from livecc_tpu.utils.metrics import LatencyTracker
+
+    tr = LatencyTracker()
+    for v in (0.1, 0.2, 0.3):
+        tr.record("x", v)
+    with tr.measure("y"):
+        pass
+    s = tr.summary()
+    assert s["x"]["n"] == 3 and abs(s["x"]["p50"] - 0.2) < 1e-6
+    assert "y" in s
