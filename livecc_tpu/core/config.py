@@ -107,6 +107,24 @@ class ModelConfig:
             name="qwen2-vl-2b",
         )
 
+    @staticmethod
+    def qwen2_vl_72b() -> "ModelConfig":
+        """Qwen2-VL-72B shapes (mrope_section scales with head_dim=128)."""
+        return ModelConfig(
+            vision=VisionConfig(hidden_size=8192),
+            text=TextConfig(
+                vocab_size=152064,
+                hidden_size=8192,
+                intermediate_size=29568,
+                num_hidden_layers=80,
+                num_attention_heads=64,
+                num_key_value_heads=8,
+                rms_norm_eps=1e-6,
+            ),
+            name="qwen2-vl-72b",
+        )
+
+
 def tiny_config(vocab_size: int = 1024) -> ModelConfig:
     """Small random-init config for CPU tests and multi-chip dry runs.
 

@@ -97,3 +97,23 @@ def test_lm_loss_filter_scores():
     assert scores.shape == (2,) and np.isfinite(scores).all() and (scores > 0).all()
     keep = lm_loss_keep(np.asarray([1.0, 3.0, 7.0]))
     assert list(keep) == [False, True, False]
+
+
+def test_corpus_stats_and_filter(tmp_path):
+    from livecc_tpu.tools import corpus_stats as cs
+    from livecc_tpu.tools import production as prod
+
+    words = make_words(100, wps=2.0)
+    clip = {"start": 0.0, "end": 50.0, "words": words, "previous": ""}
+    rows = [prod.to_conversation("a.mp4", clip, "q?"),
+            prod.to_conversation("b.mp4", clip, "q?")]
+    path = str(tmp_path / "c.jsonl")
+    prod.write_corpus(rows, path)
+    stats = cs.corpus_stats(path)
+    assert stats["total"] == 2
+    assert stats["duration_s"]["all"] == pytest.approx(100.0)
+    assert stats["stream_words"]["all"] == 200
+    out = str(tmp_path / "f.jsonl")
+    n = cs.filter_corpus(path, out, keep=lambda row: row[0]["content"][0]["video"] == "a.mp4")
+    assert n == 1
+    assert cs.corpus_stats(out)["total"] == 1
