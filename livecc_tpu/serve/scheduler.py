@@ -1,30 +1,33 @@
-"""Multi-stream serving: pool-resident batched prefill/decode.
+"""Multi-stream serving: pool-resident, host-sync-free batched execution.
 
 The reference serves one stream per process (demo/infer.py); the TPU target
 is >=8 concurrent 1-fps 720p streams per replica (BASELINE.md north star).
 
-Design (v2, informed by on-TPU tick profiling):
+Design (v3, informed by on-TPU tick profiling — see PERF.md):
   * steady-state streams live in a fixed-capacity **slot pool**: KV caches,
-    presence counts and offsets stay permanently stacked on device
-    ([C, ...]); a tick runs ONE vmapped prefill + ONE vmapped fused decode
-    over the whole pool with donated buffers — no per-tick cache
-    stacking/unstacking (that copied ~0.5 GB/tick in v1);
-  * idle slots ride along inert: valid_len 0 at prefill, ``active=False``
-    at decode (their offsets, counts and caches are provably unchanged);
+    presence counts, rope deltas and last-token markers stay permanently on
+    device ([C, ...]); a tick runs ONE vmapped prefill + ONE vmapped fused
+    decode over the whole pool with donated buffers;
+  * **zero host round-trips in the steady loop**: continuation positions are
+    computed on device from each slot's cache offset; the previous chunk's
+    dropped final token (presence-count bookkeeping) flows decode -> next
+    prefill as a device array; generated tokens are fetched lazily — the
+    host reads tick N's text while tick N+1 computes;
+  * idle slots ride along inert (valid_len 0, active=False: offsets, counts
+    and caches provably unchanged);
   * frames of all ready streams ship as ONE stacked uint8 transfer and one
     batched patchify dispatch; vision rotary/segment tables are shared
     across the pool (streams in a pool share a resolution class);
   * streams joining mid-flight run their 6-frame init chunk solo through
-    the single-stream engine (3D M-RoPE positions), then their cache is
-    inserted into a pool slot.
-
-Host work per tick is O(streams) tokenization; device work is 3 dispatches.
+    the single-stream engine (3D M-RoPE positions), then adopt a pool slot.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
+import time
 from typing import Any, Optional
 
 import numpy as np
@@ -35,7 +38,7 @@ import jax.numpy as jnp
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.data import chat
 from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill
-from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, _bucket
+from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, _bucket, PATCH_BUCKET
 from livecc_tpu.models.qwen2_vl.model import VisionInputs
 from livecc_tpu.models.qwen2_vl.text import KVCache
 from livecc_tpu.vision_io.patchify import device_patchify
@@ -45,33 +48,53 @@ Params = dict[str, Any]
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_flash"),
                    donate_argnames=("caches", "counts"))
-def pool_prefill(params, cfg, ids, pos, valid, caches, patches, cos, sin, seg,
-                 counts, remove, *, use_flash):
-    """vmapped prefill over pool slots; vision aux shared across slots."""
-    def one(ids, pos, valid, cache, patches, counts, remove):
+def pool_prefill(params, cfg, ids, valid, caches, patches, cos, sin, seg,
+                 counts, last_tokens, deltas, active, *, use_flash):
+    """vmapped prefill over pool slots.
+
+    Positions are flat continuation (cache.offset + delta) computed ON
+    DEVICE, so the host never needs the stream length; the remove-token
+    (previous chunk's dropped final sample) is consumed from the device-
+    resident ``last_tokens`` only for active slots.
+    """
+    def one(ids, valid, cache, patches, counts, last, delta, act):
+        sb = ids.shape[-1]
+        pos = jnp.broadcast_to(
+            (jnp.arange(sb) + cache.offset + delta)[None, None], (3, 1, sb)
+        ).astype(jnp.int32)
+        remove = jnp.where(act, last, -1)
         vision = VisionInputs(patches=patches, cos=cos, sin=sin, seg_ids=seg)
         return prefill(params, cfg, ids, pos, valid, cache, vision=vision,
                        counts=counts, remove_token=remove, use_flash=use_flash)
-    return jax.vmap(one)(ids, pos, valid, caches, patches, counts, remove)
+    return jax.vmap(one)(ids, valid, caches, patches, counts, last_tokens, deltas, active)
 
 
 def make_pool_decode(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
-    @functools.partial(jax.jit, donate_argnames=("caches", "counts"))
-    def run(params, logits0, caches, counts, deltas, rngs, active):
-        def one(logits0, cache, counts, delta, rng, active):
-            return decode_chunk(params, cfg, gen, logits0, cache, counts, delta, rng,
-                                use_flash=use_flash, active=active)
-        return jax.vmap(one)(logits0, caches, counts, deltas, rngs, active)
+    @functools.partial(jax.jit, donate_argnames=("caches", "counts", "last_tokens"))
+    def run(params, logits0, caches, counts, deltas, rngs, active, last_tokens):
+        def one(logits0, cache, counts, delta, rng, act, last):
+            tokens, n_gen, cache, counts = decode_chunk(
+                params, cfg, gen, logits0, cache, counts, delta[None, None], rng,
+                use_flash=use_flash, active=act,
+            )
+            new_last = jnp.where(
+                n_gen[0] > 0, tokens[0, jnp.maximum(n_gen[0] - 1, 0)], -1
+            ).astype(jnp.int32)
+            last = jnp.where(act, new_last, last)
+            return tokens, n_gen, cache, counts, last
+        return jax.vmap(one)(logits0, caches, counts, deltas, rngs, active, last_tokens)
     return run
 
 
-@functools.partial(jax.jit, donate_argnames=("pool_k", "pool_v", "pool_counts"))
-def _insert_slot(pool_k, pool_v, pool_offsets, pool_counts, slot, k, v, offset, counts):
+@functools.partial(jax.jit, donate_argnames=("pool_k", "pool_v", "pool_counts", "pool_last"))
+def _insert_slot(pool_k, pool_v, pool_offsets, pool_counts, pool_last,
+                 slot, k, v, offset, counts, last):
     return (
         pool_k.at[slot].set(k),
         pool_v.at[slot].set(v),
         pool_offsets.at[slot].set(offset),
         pool_counts.at[slot].set(counts),
+        pool_last.at[slot].set(last),
     )
 
 
@@ -83,10 +106,8 @@ class Stream:
     query_sent: bool = False
     slot: int | None = None              # pool slot once past the init chunk
     init_state: Optional[StreamState] = None
-    # host shadows (mirrors of the pooled device state)
-    length: int = 0
     rope_delta: int | None = None
-    last_token: int = -1
+    length_ub: int = 0                   # host upper bound on cache length
     pending: Optional[tuple] = None
     outputs: list = dataclasses.field(default_factory=list)
 
@@ -101,9 +122,13 @@ class StreamServer:
         self._streams: dict[int, Stream] = {}
         self._next_sid = 0
         self._decode = None
+        self._inflight: Optional[tuple] = None   # (tokens_dev, n_gen_dev, slot_map, dispatch_ts)
+        self._lock = threading.Lock()
+        self._collector: Optional[threading.Thread] = None
         # pool device state (lazy)
         self.pool_caches: Optional[KVCache] = None      # stacked [C, ...]
         self.pool_counts: Optional[jnp.ndarray] = None  # [C, 1, V]
+        self.pool_last: Optional[jnp.ndarray] = None    # [C] int32
         self._free: list[int] = list(range(capacity))
 
     # -- stream lifecycle -------------------------------------------------
@@ -120,6 +145,8 @@ class StreamServer:
         return sid
 
     def remove_stream(self, sid: int) -> None:
+        self._join_collector()
+        self._collect()
         s = self._streams.pop(sid, None)
         if s is not None and s.slot is not None:
             self._free.append(s.slot)
@@ -128,10 +155,22 @@ class StreamServer:
         """Queue one chunk ([T, H, W, 3] uint8 pre-scaled frames)."""
         self._streams[sid].pending = (frames, t0, t1)
 
-    def drain(self, sid: int) -> list[tuple[tuple[float, float], str]]:
-        out = self._streams[sid].outputs
-        self._streams[sid].outputs = []
+    def drain(self, sid: int, sync: bool = True) -> list[tuple[tuple[float, float], str]]:
+        """Collected outputs for a stream. ``sync=True`` (default) waits for
+        the in-flight tick; ``sync=False`` returns whatever the background
+        collector has already surfaced (keeps the pipeline running)."""
+        if sync:
+            self._join_collector()
+            self._collect()
+        with self._lock:
+            out = self._streams[sid].outputs
+            self._streams[sid].outputs = []
         return out
+
+    def flush(self) -> None:
+        """Force collection of any in-flight results."""
+        self._join_collector()
+        self._collect()
 
     # -- pool management ----------------------------------------------------
 
@@ -146,6 +185,7 @@ class StreamServer:
         self.pool_counts = jnp.zeros(
             (self.capacity, 1, engine.cfg.text.vocab_size), jnp.int32
         )
+        self.pool_last = jnp.full((self.capacity,), -1, jnp.int32)
 
     def _adopt(self, s: Stream) -> None:
         """Move a freshly-initialized stream's cache into a pool slot."""
@@ -154,28 +194,61 @@ class StreamServer:
         st = s.init_state
         if st.cache.max_len != self.pool_caches.max_len:
             raise RuntimeError("stream cache grew past the pool size; raise cache_len")
-        k, v, off, counts = _insert_slot(
+        k, v, off, counts, last = _insert_slot(
             self.pool_caches.k, self.pool_caches.v, self.pool_caches.offset,
-            self.pool_counts, slot, st.cache.k, st.cache.v, st.cache.offset, st.counts,
+            self.pool_counts, self.pool_last,
+            slot, st.cache.k, st.cache.v, st.cache.offset, st.counts,
+            jnp.int32(st.last_token),
         )
         self.pool_caches = KVCache(k, v, off)
         self.pool_counts = counts
+        self.pool_last = last
         s.slot = slot
-        s.length = st.length
         s.rope_delta = st.rope_delta
-        s.last_token = st.last_token
+        s.length_ub = st.length
         s.init_state = None
 
     # -- execution ---------------------------------------------------------
 
+    def _collect(self) -> None:
+        """Fetch in-flight generated tokens (runs on the collector thread as
+        soon as the device finishes; callable from the main thread too)."""
+        with self._lock:
+            inflight, self._inflight = self._inflight, None
+        if inflight is None:
+            return
+        tokens_dev, n_gen_dev, slot_map, dispatched = inflight
+        tokens = np.asarray(tokens_dev)      # blocks until device completion
+        n_gen = np.asarray(n_gen_dev)
+        done = time.perf_counter()
+        with self._lock:
+            for slot, (sid, span, n_new) in slot_map.items():
+                s = self._streams.get(sid)
+                if s is None:
+                    continue
+                generated = tokens[slot, 0, : int(n_gen[slot, 0])].tolist()
+                text = self.engine.tokenizer.decode(generated, skip_special_tokens=True)
+                s.outputs.append((span, text))
+                self.engine.metrics.record("chunk_e2e_latency", done - dispatched)
+
+    def _join_collector(self) -> None:
+        c = self._collector
+        if c is not None and c.is_alive():
+            c.join()
+
     def tick(self) -> int:
-        """Execute all pending chunks; returns number of chunks processed."""
+        """Dispatch all pending chunks; returns the number dispatched.
+
+        Pipelined: results become visible via drain() (which syncs) or on a
+        later tick — the host prepares tick N+1 while the device runs tick N.
+        """
         with self.engine.metrics.measure("serve_tick"):
             return self._tick()
 
     def _tick(self) -> int:
         ready = [s for s in self._streams.values() if s.pending is not None]
         if not ready:
+            self._collect()
             return 0
         # init chunks: single-stream path (3D rope), then adopt into the pool
         for s in [x for x in ready if x.slot is None]:
@@ -189,6 +262,8 @@ class StreamServer:
         steady = [s for s in ready if s.pending is not None]
         if steady:
             self._run_pool(steady)
+        else:
+            self._collect()
         return len(ready)
 
     def _run_pool(self, streams: list["Stream"]) -> None:
@@ -204,7 +279,7 @@ class StreamServer:
             text = chat.render_chat([{"role": "user", "content": content}],
                                     add_generation_prompt=True)
             text = chat.strip_system_for_continuation(text, engine.sys_offset)
-            t, h, w = (frames.shape[0], frames.shape[1], frames.shape[2])
+            t, h, w = frames.shape[:3]
             grid = (max(t // engine.cfg.vision.temporal_patch_size, 1),
                     h // engine.cfg.vision.patch_size, w // engine.cfg.vision.patch_size)
             text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])
@@ -214,59 +289,59 @@ class StreamServer:
         if any(p["grid"] != grid for p in preps):
             raise RuntimeError("streams in one pool must share a resolution class")
         n = grid[0] * grid[1] * grid[2]
-        from livecc_tpu.engine.streaming import PATCH_BUCKET
         n_pad = -n % PATCH_BUCKET
         # shared vision aux (cached per grid inside the engine)
-        _, vis0 = engine._device_vision(preps[0]["frames"])
-        # batched patchify: one transfer, one dispatch
+        _, vis0 = engine._device_vision(preps[0]["frames"][:2])
+        bucket = _bucket(max(len(p["ids"]) for p in preps))
+        for p in preps:   # conservative capacity check (host upper bound)
+            s = p["s"]
+            s.length_ub += len(p["ids"]) + self.gen.max_new_tokens
+            if s.length_ub + bucket > self.pool_caches.max_len:
+                raise RuntimeError("pool cache exhausted; raise engine.cache_len")
+
+        # batched patchify: one transfer, one dispatch, one scatter
         stacked = np.stack([p["frames"] for p in preps])
         patches_ready = jax.vmap(
             lambda f: device_patchify(f, n_pad=n_pad)
         )(jnp.asarray(stacked))
         slots_arr = jnp.asarray([p["s"].slot for p in preps])
         patches = jnp.zeros((c,) + patches_ready.shape[1:], patches_ready.dtype)
-        patches = patches.at[slots_arr].set(patches_ready)   # one scatter
-        bucket = _bucket(max(len(p["ids"]) for p in preps))
+        patches = patches.at[slots_arr].set(patches_ready)
+
         ids = np.zeros((c, 1, bucket), np.int32)
-        pos = np.zeros((c, 3, 1, bucket), np.int32)
         valid = np.zeros((c,), np.int32)
-        deltas = np.zeros((c, 1, 1), np.int32)
-        removes = np.full((c,), -1, np.int32)
+        deltas = np.zeros((c,), np.int32)
         active = np.zeros((c,), bool)
-        slot_of = {}
-        for i, p in enumerate(preps):
+        slot_map: dict[int, tuple] = {}
+        for p in preps:
             s = p["s"]
             slot = s.slot
-            slot_of[slot] = p
-            k = len(p["ids"])
-            ids[slot, 0, :k] = p["ids"]
-            pos[slot] = np.broadcast_to(
-                (np.arange(bucket) + s.length + s.rope_delta)[None, None], (3, 1, bucket)
-            )
-            valid[slot] = k
-            deltas[slot, 0, 0] = s.rope_delta
-            removes[slot] = s.last_token
+            slot_map[slot] = (s.sid, p["span"], len(p["ids"]))
+            ids[slot, 0, : len(p["ids"])] = p["ids"]
+            valid[slot] = len(p["ids"])
+            deltas[slot] = s.rope_delta
             active[slot] = True
 
+        # Overlap: fetch the PREVIOUS tick's tokens while this tick's device
+        # work is being dispatched/queued.
         logits0, self.pool_caches, self.pool_counts = pool_prefill(
-            engine.params, engine.cfg, jnp.asarray(ids), jnp.asarray(pos),
-            jnp.asarray(valid), self.pool_caches, patches,
-            vis0.cos, vis0.sin, vis0.seg_ids,
-            self.pool_counts, jnp.asarray(removes), use_flash=engine.use_flash,
+            engine.params, engine.cfg, jnp.asarray(ids), jnp.asarray(valid),
+            self.pool_caches, patches, vis0.cos, vis0.sin, vis0.seg_ids,
+            self.pool_counts, self.pool_last, jnp.asarray(deltas),
+            jnp.asarray(active), use_flash=engine.use_flash,
         )
         if self._decode is None:
             self._decode = make_pool_decode(engine.cfg, self.gen, engine.use_flash)
         engine._rng, sub = jax.random.split(engine._rng)
         rngs = jax.random.split(sub, c)
-        tokens, n_gen, self.pool_caches, self.pool_counts = self._decode(
+        tokens, n_gen, self.pool_caches, self.pool_counts, self.pool_last = self._decode(
             engine.params, logits0, self.pool_caches, self.pool_counts,
-            jnp.asarray(deltas), rngs, jnp.asarray(active),
+            jnp.asarray(deltas), rngs, jnp.asarray(active), self.pool_last,
         )
-        tokens = np.asarray(tokens)
-        n_gen = np.asarray(n_gen)
-        for slot, p in slot_of.items():
-            s = p["s"]
-            generated = tokens[slot, 0, : int(n_gen[slot, 0])].tolist()
-            s.length += len(p["ids"]) + max(len(generated) - 1, 0)
-            s.last_token = generated[-1] if generated else -1
-            s.outputs.append((p["span"], engine.tokenizer.decode(generated, skip_special_tokens=True)))
+        # background collector surfaces results the moment the device
+        # finishes, while the main thread prepares the next tick
+        self._join_collector()
+        with self._lock:
+            self._inflight = (tokens, n_gen, slot_map, time.perf_counter())
+        self._collector = threading.Thread(target=self._collect, daemon=True)
+        self._collector.start()

@@ -62,9 +62,7 @@ def test_batched_matches_single_stream():
     assert out0 == ref, (out0, ref)
     assert len(out1) == 3
     # streams are independent: different inputs -> (almost surely) different state
-    st0 = server._streams[s0]
-    st1 = server._streams[s1]
-    assert st0.length != st1.length or out0 != out1
+    assert out0 != out1 or server._streams[s0].length_ub != server._streams[s1].length_ub
 
 
 def test_stream_join_and_remove():
