@@ -101,8 +101,8 @@ def presence_from_ids(ids: jnp.ndarray, valid_len: jnp.ndarray, vocab_size: int)
 def update_counts(
     counts: jnp.ndarray,       # [B, V] int32 token-occurrence counts
     ids: jnp.ndarray,          # [B, Sb]
-    valid_len: jnp.ndarray,    # int32 scalar
-    remove_token: jnp.ndarray, # int32 scalar; -1 = nothing to remove
+    valid_len: jnp.ndarray,    # int32 scalar or [B]
+    remove_token: jnp.ndarray, # int32 scalar or [B]; -1 = nothing to remove
 ) -> jnp.ndarray:
     """Incremental repetition-penalty presence: add this chunk's tokens,
     drop the previous chunk's final sampled token (it never entered the
@@ -110,11 +110,13 @@ def update_counts(
     Device-resident so streaming never rebuilds vocab-sized one-hots with
     growing (recompiling) history shapes."""
     b, sb = ids.shape
-    valid = (jnp.arange(sb)[None, :] < valid_len).astype(jnp.int32)
+    valid_len = jnp.broadcast_to(jnp.asarray(valid_len), (b,))
+    valid = (jnp.arange(sb)[None, :] < valid_len[:, None]).astype(jnp.int32)
     counts = counts.at[jnp.arange(b)[:, None], ids].add(valid)
+    remove_token = jnp.broadcast_to(jnp.asarray(remove_token), (b,))
     rm = jnp.clip(remove_token, 0, counts.shape[1] - 1)
     dec = jnp.where(remove_token >= 0, 1, 0)
-    return counts.at[:, rm].add(-dec)
+    return counts.at[jnp.arange(b), rm].add(-dec)
 
 
 @functools.partial(
@@ -125,21 +127,28 @@ def prefill(
     cfg: ModelConfig,
     ids: jnp.ndarray,            # [B, Sb] (right-padded to bucket)
     position_ids: jnp.ndarray,   # [3, B, Sb]
-    valid_len: jnp.ndarray,      # int32 scalar — number of real tokens
+    valid_len: jnp.ndarray,      # int32 scalar or [B] — real tokens per row
     cache: KVCache,
     vision: Optional[VisionInputs] = None,
     counts: Optional[jnp.ndarray] = None,       # [B, V] presence counts
-    remove_token: jnp.ndarray | None = None,    # int32 scalar, -1 = none
+    remove_token: jnp.ndarray | None = None,    # int32 scalar or [B], -1 = none
     use_flash: bool = False,
 ) -> tuple[jnp.ndarray, KVCache, Optional[jnp.ndarray]]:
-    """Write a chunk into the cache; return fp32 logits at the last valid token."""
-    kv_limit = cache.offset + valid_len
-    key_valid = None if use_flash else (jnp.arange(cache.max_len)[None, :] < kv_limit)
+    """Write a chunk into the cache; return fp32 logits at the last valid
+    token of each row. Rows may sit at different cache depths (continuous
+    batching); a row with valid_len 0 is a no-op (offset unchanged, nothing
+    attended by later chunks)."""
+    b = ids.shape[0]
+    valid_len = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (b,))
+    kv_limit = cache.offset + valid_len                              # [B]
+    key_valid = None
+    if not use_flash:
+        key_valid = jnp.arange(cache.max_len)[None, :] < kv_limit[:, None]
     logits, new_cache = forward(
         params, cfg, ids, position_ids, vision=vision, cache=cache,
         attention_mask=key_valid, kv_limit=kv_limit, use_flash=use_flash,
     )
-    last = logits[jnp.arange(ids.shape[0]), valid_len - 1]          # [B, V]
+    last = logits[jnp.arange(b), jnp.maximum(valid_len - 1, 0)]      # [B, V]
     new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + valid_len)
     if counts is not None:
         counts = update_counts(counts, ids, valid_len,
@@ -170,7 +179,6 @@ def decode_chunk(
     ``past_ids`` semantics); its KV is absent from the cache.
     """
     b = logits0.shape[0]
-    assert b == 1, "single-stream decode; batched serving uses serve/"
 
     def step(carry, i):
         logits, cache, stopped, counts, key = carry
@@ -190,14 +198,14 @@ def decode_chunk(
             jnp.where(stopped, 0, 1)
         )
         # Forward the sampled token unless generation has ended. When ended we
-        # still execute the forward (static graph) but freeze the offset, so
-        # the write lands on the free slot and is overwritten later.
+        # still execute the forward (static graph) but freeze that row's
+        # offset, so the write lands on the free slot and is overwritten.
         pos = continuation_pos(cache.offset, rope_delta, b)
         step_logits, new_cache = forward(
             params, cfg, token[:, None], pos, cache=cache,
             kv_limit=cache.offset + 1, use_flash=use_flash, compute_logits=True,
         )
-        advance = jnp.where(now_stopped.any(), 0, 1)
+        advance = jnp.where(now_stopped, 0, 1)                      # [B]
         new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + advance)
         return (step_logits[:, -1], new_cache, now_stopped, counts, key), (token_out, ~stopped)
 
@@ -212,6 +220,6 @@ def decode_chunk(
 
 
 def continuation_pos(offset: jnp.ndarray, rope_delta: jnp.ndarray, batch: int) -> jnp.ndarray:
-    """[3, B, 1] flat positions for a single decode step."""
-    pos = (offset + rope_delta).astype(jnp.int32)                   # [B, 1]
+    """[3, B, 1] flat positions for a single decode step (per-row offsets)."""
+    pos = (offset[:, None] + rope_delta).astype(jnp.int32)          # [B, 1]
     return jnp.broadcast_to(pos[None], (3, batch, 1))

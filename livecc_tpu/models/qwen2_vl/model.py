@@ -146,11 +146,12 @@ def get_rope_index(
 def continuation_position_ids(offset: jnp.ndarray, rope_delta: jnp.ndarray, batch: int, seq: int) -> jnp.ndarray:
     """Decode-time positions: cache offset + rope_delta, same on all 3 axes.
 
+    ``offset`` is the per-row [B] cache depth; ``rope_delta`` is [B, 1].
     Reference: Qwen2VLModel.forward else-branch (delta = cache_position[0] +
     rope_deltas) — the piece generation_patch.py:34-35 forces by nulling
     position_ids.
     """
-    pos = jnp.arange(seq)[None, None, :] + offset + rope_delta
+    pos = jnp.arange(seq)[None, None, :] + offset.reshape(1, batch, 1) + rope_delta[None]
     return jnp.broadcast_to(pos, (3, batch, seq)).astype(jnp.int32)
 
 
@@ -188,10 +189,24 @@ def forward(
     """Full multimodal forward. Returns (logits [B,S,V] fp32 or hidden, cache)."""
     embeds = params["text"]["embed"]["weight"][input_ids]
     if vision is not None:
-        video_embeds = vision_forward(
-            params["visual"], cfg.vision, vision.patches, vision.cos, vision.sin, vision.seg_ids
-        )
-        embeds = scatter_video_embeds(cfg, embeds, input_ids, video_embeds)
+        if vision.patches.ndim == 3:
+            # batched serving: per-row clips [B, Np, pd] with shared rotary/
+            # segment tables; ViT runs per row, scatter stays row-local
+            video_embeds = jax.vmap(
+                lambda patches: vision_forward(
+                    params["visual"], cfg.vision, patches,
+                    vision.cos, vision.sin, vision.seg_ids,
+                )
+            )(vision.patches)                                   # [B, Nv, H]
+            embeds = jax.vmap(
+                lambda e, ids, ve: scatter_video_embeds(cfg, e[None], ids[None], ve)[0]
+            )(embeds, input_ids, video_embeds)
+        else:
+            video_embeds = vision_forward(
+                params["visual"], cfg.vision, vision.patches, vision.cos, vision.sin,
+                vision.seg_ids,
+            )
+            embeds = scatter_video_embeds(cfg, embeds, input_ids, video_embeds)
     hidden, new_cache = text_forward(
         params["text"], cfg.text, embeds, position_ids, cache=cache,
         attention_mask=attention_mask, kv_limit=kv_limit, use_flash=use_flash,

@@ -27,24 +27,27 @@ Params = dict[str, Any]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Static-size KV cache in attention layout. ``offset`` = valid tokens.
+    """Static-size KV cache in attention layout with PER-ROW offsets.
 
     Layout [L, B, Hk, Smax, D] keeps the sequence dimension second-to-last so
     Pallas kernels tile it directly (TPU blocks must tile the trailing two
-    dims) and cache updates/attention reads need no transposes."""
+    dims) and cache updates/attention reads need no transposes. ``offset``
+    is [B]: every row (stream) sits at its own depth — the continuous-
+    batching substrate (serve/)."""
 
     k: jnp.ndarray         # [L, B, Hk, Smax, D]
     v: jnp.ndarray         # [L, B, Hk, Smax, D]
-    offset: jnp.ndarray    # int32 scalar
+    offset: jnp.ndarray    # int32 [B]
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[-2]  # also correct for pool-stacked caches
+        return self.k.shape[-2]
 
     @staticmethod
     def zeros(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
         shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros((batch,), jnp.int32))
 
 
 def init_text_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Params:
@@ -70,6 +73,23 @@ def init_text_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Para
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"kernel": init(jax.random.fold_in(key, 99), (h, cfg.vocab_size), h)}
     return params
+
+
+def _write_kv(cache_all: jnp.ndarray, li: jnp.ndarray, kt: jnp.ndarray,
+              offsets: jnp.ndarray) -> jnp.ndarray:
+    """Write [B, Hk, s, D] at per-row depths into the [L, B, Hk, Smax, D]
+    cache. B == 1 takes the fast dynamic_update_slice path; B > 1 scatters
+    (each row lands at its own offset — continuous batching)."""
+    b, hk, s_, d_ = kt.shape
+    if b == 1:
+        return lax.dynamic_update_slice(cache_all, kt[None], (li, 0, 0, offsets[0], 0))
+    # Per-row depths: statically-unrolled dynamic_update_slice per row (XLA
+    # keeps these in place; a gather/scatter formulation was ~4x slower).
+    for i in range(b):
+        cache_all = lax.dynamic_update_slice(
+            cache_all, kt[i][None, None], (li, i, 0, offsets[i], 0)
+        )
+    return cache_all
 
 
 def text_forward(
@@ -99,49 +119,67 @@ def text_forward(
     mask = None
     if not flash:
         if cache is not None:
-            mask = kv_cache_mask(s, cache.max_len, cache.offset)[None, None]  # [1,1,S,Smax]
+            mask = kv_cache_mask(s, cache.max_len, cache.offset)   # [B,1,S,Smax]
         else:
-            mask = causal_mask(s)[None, None]                                  # [1,1,S,S]
+            mask = causal_mask(s)[None, None]                      # [1,1,S,S]
         if attention_mask is not None:
             mask = mask & attention_mask[:, None, None, :]
     if cache is not None and kv_limit is None:
         kv_limit = cache.offset + s
 
-    def block(x, xs):
-        layer = xs[0] if cache is not None else xs
+    def attn_mlp(x, layer, attend):
         y = rms_norm(x, layer["input_ln"], cfg.rms_norm_eps)
         q = (y @ layer["q_kernel"] + layer["q_bias"]).reshape(b, s, hq, hd)
         k = (y @ layer["k_kernel"] + layer["k_bias"]).reshape(b, s, hk, hd)
         v = (y @ layer["v_kernel"] + layer["v_bias"]).reshape(b, s, hk, hd)
         q, k = apply_mrope(q, k, cos, sin)
-        if cache is not None:
-            _, ck, cv = xs
-            kt = jnp.swapaxes(k, 1, 2).astype(ck.dtype)   # [B, Hk, s, D]
-            vt = jnp.swapaxes(v, 1, 2).astype(cv.dtype)
-            ck = lax.dynamic_update_slice(ck, kt, (0, 0, cache.offset, 0))
-            cv = lax.dynamic_update_slice(cv, vt, (0, 0, cache.offset, 0))
-            qt = jnp.swapaxes(q, 1, 2)                     # [B, Hq, s, D]
-            if flash and s == 1:
-                attn = flash_decode(qt, ck.astype(q.dtype), cv.astype(q.dtype), kv_limit)
-            elif flash:
-                attn = flash_prefill(qt, ck.astype(q.dtype), cv.astype(q.dtype),
-                                     cache.offset, kv_limit)
-            else:
-                attn = mha_bhsd(qt, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
-            attn = jnp.swapaxes(attn, 1, 2)                # back to [B, s, Hq, D]
-            ys = (ck, cv)
-        else:
-            attn = mha(q, k, v, mask=mask)
-            ys = None
+        attn = attend(q, k, v)
         x = x + attn.reshape(b, s, h) @ layer["o_kernel"]
         y = rms_norm(x, layer["post_ln"], cfg.rms_norm_eps)
         y = (jax.nn.silu(y @ layer["gate_kernel"]) * (y @ layer["up_kernel"])) @ layer["down_kernel"]
-        return x + y, ys
+        return x + y
 
     if cache is not None:
-        x, (new_k, new_v) = lax.scan(block, inputs_embeds, (params["layers"], cache.k, cache.v))
+        # The whole cache rides in the scan CARRY and is updated with
+        # layer-indexed dynamic_update_slice — XLA aliases this in place.
+        # (Emitting per-layer caches as scan ys rewrote the full cache every
+        # call: +10 ms per decode step at an 8 GB-class cache. See PERF.md.)
+        def block(carry, xs):
+            x, ck_all, cv_all = carry
+            layer, li = xs
+
+            def attend(q, k, v):
+                kt = jnp.swapaxes(k, 1, 2).astype(ck_all.dtype)   # [B,Hk,s,D]
+                vt = jnp.swapaxes(v, 1, 2).astype(cv_all.dtype)
+                nonlocal_k = _write_kv(ck_all, li, kt, cache.offset)
+                nonlocal_v = _write_kv(cv_all, li, vt, cache.offset)
+                qt = jnp.swapaxes(q, 1, 2)                    # [B, Hq, s, D]
+                if flash and s == 1:
+                    # layer-indexed 5D cache: no per-layer slice materialized
+                    attn = flash_decode(qt, nonlocal_k, nonlocal_v, kv_limit, li)
+                elif flash:
+                    attn = flash_prefill(qt, nonlocal_k, nonlocal_v,
+                                         cache.offset, kv_limit, li)
+                else:
+                    ck = lax.dynamic_index_in_dim(nonlocal_k, li, 0, keepdims=False)
+                    cv = lax.dynamic_index_in_dim(nonlocal_v, li, 0, keepdims=False)
+                    attn = mha_bhsd(qt, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+                attend.updated = (nonlocal_k, nonlocal_v)
+                return jnp.swapaxes(attn, 1, 2)               # [B, s, Hq, D]
+
+            x = attn_mlp(x, layer, attend)
+            ck_all, cv_all = attend.updated
+            return (x, ck_all, cv_all), None
+
+        (x, new_k, new_v), _ = lax.scan(
+            block, (inputs_embeds, cache.k, cache.v),
+            (params["layers"], jnp.arange(cfg.num_hidden_layers)),
+        )
         new_cache = KVCache(new_k, new_v, cache.offset + s)
     else:
+        def block(x, layer):
+            return attn_mlp(x, layer, lambda q, k, v: mha(q, k, v, mask=mask)), None
+
         x, _ = lax.scan(block, inputs_embeds, params["layers"])
         new_cache = None
 

@@ -79,12 +79,16 @@ def kv_cache_mask(sq: int, cache_len: int, offset: jnp.ndarray) -> jnp.ndarray:
     """Causal mask for queries appended at ``offset`` into a static cache.
 
     Query i (global position offset+i) may attend cache slots [0, offset+i].
-    Slots beyond offset+sq are unfilled and masked out automatically.
-    Returns bool [Sq, cache_len].
+    ``offset`` may be a scalar (returns bool [Sq, cache_len]) or a [B] array
+    of per-row cache depths (returns bool [B, 1, Sq, cache_len]).
     """
-    qpos = offset + jnp.arange(sq)[:, None]
-    kpos = jnp.arange(cache_len)[None, :]
-    return kpos <= qpos
+    offset = jnp.asarray(offset)
+    kpos = jnp.arange(cache_len)
+    if offset.ndim == 0:
+        qpos = offset + jnp.arange(sq)[:, None]
+        return kpos[None, :] <= qpos
+    qpos = offset[:, None] + jnp.arange(sq)[None, :]          # [B, Sq]
+    return kpos[None, None, None, :] <= qpos[:, None, :, None]
 
 
 def segment_mask(seg_ids: jnp.ndarray) -> jnp.ndarray:

@@ -3,16 +3,21 @@
 N2-equivalent of the reference's flash-attn 2 CUDA dependency (SURVEY.md
 §2b): online-softmax attention that never materializes [Sq, Skv] scores.
 
-Layout: BHSD — q [B, Hq, Sq, D], cache k/v [B, Hk, Smax, D] — so the
-sequence and head dims land in the trailing block positions TPU tiles
-require, and the cache needs no transposes. Two kernels over a *static*
-cache with dynamic scalars (cache offset, valid length):
+Layout: BHSD — q [B, Hq, Sq, D]; cache k/v [B, Hk, Smax, D], or the whole
+stacked-layer cache [L, B, Hk, Smax, D] plus a ``layer_index`` scalar (the
+scanned-transformer hot path: the index map selects the layer so no
+per-layer slice is ever materialized).
+
+Both kernels are **batch-native with per-row scalars**: ``offset`` /
+``kv_limit`` may be [B] arrays (continuous batching — every stream sits at
+its own cache depth). Scalars arrive via PrefetchScalarGridSpec and are read
+per batch-grid-index in the index maps, so each row's DMA is clamped to its
+own causal/valid frontier.
 
   * ``flash_prefill`` — chunk queries appended at ``offset``; causal over
-    the cache. Grid (B, Hq, nq, nkv) with the kv dimension innermost and
-    running (m, l, acc) in VMEM scratch. KV blocks beyond the causal/valid
-    frontier are skipped (no FLOPs) and their HBM traffic is avoided by
-    clamping the kv index map to the last needed block.
+    the cache. Grid (B, Hq, nq, nkv), kv innermost, running (m, l, acc)
+    in VMEM scratch; beyond-frontier kv blocks are skipped (no FLOPs, no
+    HBM traffic via index-map clamping).
   * ``flash_decode`` — single-token step; q-heads grouped per KV head
     ([G, D] x [bk, D] contractions), grid (B, Hk, nkv).
 
@@ -33,16 +38,23 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _as_row_scalars(x, b: int) -> jnp.ndarray:
+    """Scalar or [B] array -> int32 [B]."""
+    x = jnp.asarray(x, jnp.int32)
+    return jnp.broadcast_to(x, (b,))
+
+
 # ---------------------------------------------------------------------------
 # prefill
 # ---------------------------------------------------------------------------
 
 def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                    *, bq: int, bk: int, scale: float, nkv: int):
+                    *, bq: int, bk: int, scale: float, nkv: int, layered: bool):
+    bi = pl.program_id(0)
     iq = pl.program_id(2)
     j = pl.program_id(3)
-    offset = s_ref[0]
-    kv_limit = s_ref[1]
+    offset = s_ref[0, bi]
+    kv_limit = s_ref[1, bi]
 
     @pl.when(j == 0)
     def _init():
@@ -56,8 +68,8 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     @pl.when(block_needed)
     def _compute():
         q = q_ref[0, 0]                          # [bq, D]
-        k = k_ref[0, 0]                          # [bk, D]
-        v = v_ref[0, 0]
+        k = k_ref[0, 0, 0] if layered else k_ref[0, 0]      # [bk, D]
+        v = v_ref[0, 0, 0] if layered else v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                # [bq, bk]
@@ -66,8 +78,7 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         allowed = (kpos <= qpos) & (kpos < kv_limit)
         s = jnp.where(allowed, s, NEG_INF)
         m_prev = m_scr[:]                        # [bq, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)                   # [bq, bk]
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -84,50 +95,52 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0, 0] = (acc_scr[:] / safe).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bq", "bk", "interpret"),
-)
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
 def flash_prefill(
     q: jnp.ndarray,            # [B, Hq, Sq, D]
-    k: jnp.ndarray,            # [B, Hk, Smax, D]
+    k: jnp.ndarray,            # [B, Hk, Smax, D] or [L, B, Hk, Smax, D] (layer_index)
     v: jnp.ndarray,
-    offset: jnp.ndarray,       # int32 scalar — queries start here
-    kv_limit: jnp.ndarray,     # int32 scalar — keys < kv_limit are valid
+    offset: jnp.ndarray,       # int32 scalar or [B] — queries start here (per row)
+    kv_limit: jnp.ndarray,     # int32 scalar or [B] — keys < kv_limit valid (per row)
+    layer_index: jnp.ndarray | None = None,  # int32 scalar into a 5D cache
     *,
     bq: int = 128,
     bk: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hq, sq, d = q.shape
-    hk, smax = k.shape[1], k.shape[2]
+    layered = k.ndim == 5
+    hk, smax = k.shape[-3], k.shape[-2]
     g = hq // hk
     bq = min(bq, sq)
     bk = min(bk, smax)
     nq = pl.cdiv(sq, bq)
     nkv = pl.cdiv(smax, bk)
     scale = d ** -0.5
-    scalars = jnp.stack([offset.astype(jnp.int32), kv_limit.astype(jnp.int32)])
+    li = jnp.zeros((b,), jnp.int32) if layer_index is None else _as_row_scalars(layer_index, b)
+    scalars = jnp.stack([_as_row_scalars(offset, b), _as_row_scalars(kv_limit, b), li])
 
     def q_map(bi, h, iq, j, s_ref):
         return (bi, h, iq, 0)
 
     def kv_map(bi, h, iq, j, s_ref):
-        # Clamp to the last block this (iq, j) sweep can need: avoids HBM
+        # Clamp to the last block this (row, iq, j) sweep can need: avoids HBM
         # traffic for the unused cache tail and beyond-causal blocks.
-        q_hi = s_ref[0] + iq * bq + bq - 1
+        q_hi = s_ref[0, bi] + iq * bq + bq - 1
         last_needed = jnp.minimum(
-            jnp.maximum(jnp.minimum(q_hi, s_ref[1] - 1), 0) // bk, nkv - 1
+            jnp.maximum(jnp.minimum(q_hi, s_ref[1, bi] - 1), 0) // bk, nkv - 1
         )
-        return (bi, h // g, jnp.minimum(j, last_needed), 0)
+        idx = (bi, h // g, jnp.minimum(j, last_needed), 0)
+        return (s_ref[2, bi],) + idx if layered else idx
 
+    kv_block = (1, 1, 1, bk, d) if layered else (1, 1, bk, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hq, nq, nkv),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), q_map),
-            pl.BlockSpec((1, 1, bk, d), kv_map),
-            pl.BlockSpec((1, 1, bk, d), kv_map),
+            pl.BlockSpec(kv_block, kv_map),
+            pl.BlockSpec(kv_block, kv_map),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), q_map),
         scratch_shapes=[
@@ -136,7 +149,8 @@ def flash_prefill(
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_prefill_kernel, bq=bq, bk=bk, scale=scale, nkv=nkv)
+    kernel = functools.partial(_prefill_kernel, bq=bq, bk=bk, scale=scale, nkv=nkv,
+                               layered=layered)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -150,9 +164,10 @@ def flash_prefill(
 # ---------------------------------------------------------------------------
 
 def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                   *, bk: int, scale: float, nkv: int):
+                   *, bk: int, scale: float, nkv: int, layered: bool):
+    bi = pl.program_id(0)
     j = pl.program_id(2)
-    kv_limit = s_ref[0]
+    kv_limit = s_ref[0, bi]
 
     @pl.when(j == 0)
     def _init():
@@ -163,8 +178,8 @@ def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     @pl.when(j * bk < kv_limit)
     def _compute():
         q = q_ref[0, 0]                          # [G, D]
-        k = k_ref[0, 0]                          # [bk, D]
-        v = v_ref[0, 0]
+        k = k_ref[0, 0, 0] if layered else k_ref[0, 0]      # [bk, D]
+        v = v_ref[0, 0, 0] if layered else v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                # [G, bk]
@@ -191,38 +206,43 @@ def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 @functools.partial(jax.jit, static_argnames=("bk", "interpret"))
 def flash_decode(
     q: jnp.ndarray,            # [B, Hq, 1, D]
-    k: jnp.ndarray,            # [B, Hk, Smax, D]
+    k: jnp.ndarray,            # [B, Hk, Smax, D] or [L, B, Hk, Smax, D] (layer_index)
     v: jnp.ndarray,
-    kv_limit: jnp.ndarray,     # int32 scalar — keys < kv_limit are valid
+    kv_limit: jnp.ndarray,     # int32 scalar or [B] — keys < kv_limit valid (per row)
+    layer_index: jnp.ndarray | None = None,  # int32 scalar into a 5D cache
     *,
     bk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hq, sq, d = q.shape
     assert sq == 1
-    hk, smax = k.shape[1], k.shape[2]
+    layered = k.ndim == 5
+    hk, smax = k.shape[-3], k.shape[-2]
     g = hq // hk
     bk = min(bk, smax)
     nkv = pl.cdiv(smax, bk)
     scale = d ** -0.5
     # [B, Hq, 1, D] -> [B, Hk, G, D]: group q heads by their KV head.
     qg = q.reshape(b, hk, g, d)
-    scalars = jnp.stack([kv_limit.astype(jnp.int32)])
+    li = jnp.zeros((b,), jnp.int32) if layer_index is None else _as_row_scalars(layer_index, b)
+    scalars = jnp.stack([_as_row_scalars(kv_limit, b), li])
 
     def q_map(bi, h, j, s_ref):
         return (bi, h, 0, 0)
 
     def kv_map(bi, h, j, s_ref):
-        last_needed = jnp.minimum(jnp.maximum(s_ref[0] - 1, 0) // bk, nkv - 1)
-        return (bi, h, jnp.minimum(j, last_needed), 0)
+        last_needed = jnp.minimum(jnp.maximum(s_ref[0, bi] - 1, 0) // bk, nkv - 1)
+        idx = (bi, h, jnp.minimum(j, last_needed), 0)
+        return (s_ref[1, bi],) + idx if layered else idx
 
+    kv_block = (1, 1, 1, bk, d) if layered else (1, 1, bk, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hk, nkv),
         in_specs=[
             pl.BlockSpec((1, 1, g, d), q_map),
-            pl.BlockSpec((1, 1, bk, d), kv_map),
-            pl.BlockSpec((1, 1, bk, d), kv_map),
+            pl.BlockSpec(kv_block, kv_map),
+            pl.BlockSpec(kv_block, kv_map),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), q_map),
         scratch_shapes=[
@@ -231,7 +251,8 @@ def flash_decode(
             pltpu.VMEM((g, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_decode_kernel, bk=bk, scale=scale, nkv=nkv)
+    kernel = functools.partial(_decode_kernel, bk=bk, scale=scale, nkv=nkv,
+                               layered=layered)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

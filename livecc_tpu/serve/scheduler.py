@@ -46,43 +46,40 @@ from livecc_tpu.vision_io.patchify import device_patchify
 Params = dict[str, Any]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"),
-                   donate_argnames=("caches", "counts"))
-def pool_prefill(params, cfg, ids, valid, caches, patches, cos, sin, seg,
-                 counts, last_tokens, deltas, active, *, use_flash):
-    """vmapped prefill over pool slots.
+def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
+    """One fused jit per tick: batched prefill + fused decode over the pool.
 
-    Positions are flat continuation (cache.offset + delta) computed ON
-    DEVICE, so the host never needs the stream length; the remove-token
-    (previous chunk's dropped final sample) is consumed from the device-
-    resident ``last_tokens`` only for active slots.
+    Every row (stream) sits at its own cache depth — positions, key-validity
+    and writes use the per-row offsets natively (no vmap, so GEMMs stay
+    batched and the Pallas kernels see the whole pool in one grid).
     """
-    def one(ids, valid, cache, patches, counts, last, delta, act):
-        sb = ids.shape[-1]
+
+    @functools.partial(jax.jit, donate_argnames=("cache", "counts", "last_tokens"))
+    def run(params, ids, valid, cache, patches, cos, sin, seg,
+            counts, last_tokens, deltas, active, rng):
+        b, sb = ids.shape
         pos = jnp.broadcast_to(
-            (jnp.arange(sb) + cache.offset + delta)[None, None], (3, 1, sb)
+            jnp.arange(sb)[None, None, :] + (cache.offset + deltas)[None, :, None],
+            (3, b, sb),
         ).astype(jnp.int32)
-        remove = jnp.where(act, last, -1)
+        remove = jnp.where(active, last_tokens, -1)
         vision = VisionInputs(patches=patches, cos=cos, sin=sin, seg_ids=seg)
-        return prefill(params, cfg, ids, pos, valid, cache, vision=vision,
-                       counts=counts, remove_token=remove, use_flash=use_flash)
-    return jax.vmap(one)(ids, valid, caches, patches, counts, last_tokens, deltas, active)
+        logits0, cache, counts = prefill(
+            params, cfg, ids, pos, valid, cache, vision=vision,
+            counts=counts, remove_token=remove, use_flash=use_flash,
+        )
+        tokens, n_gen, cache, counts = decode_chunk(
+            params, cfg, gen, logits0, cache, counts, deltas[:, None], rng,
+            use_flash=use_flash, active=active,
+        )
+        new_last = jnp.where(
+            n_gen > 0,
+            tokens[jnp.arange(b), jnp.maximum(n_gen - 1, 0)],
+            -1,
+        ).astype(jnp.int32)
+        last_tokens = jnp.where(active, new_last, last_tokens)
+        return tokens, n_gen, cache, counts, last_tokens
 
-
-def make_pool_decode(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
-    @functools.partial(jax.jit, donate_argnames=("caches", "counts", "last_tokens"))
-    def run(params, logits0, caches, counts, deltas, rngs, active, last_tokens):
-        def one(logits0, cache, counts, delta, rng, act, last):
-            tokens, n_gen, cache, counts = decode_chunk(
-                params, cfg, gen, logits0, cache, counts, delta[None, None], rng,
-                use_flash=use_flash, active=act,
-            )
-            new_last = jnp.where(
-                n_gen[0] > 0, tokens[0, jnp.maximum(n_gen[0] - 1, 0)], -1
-            ).astype(jnp.int32)
-            last = jnp.where(act, new_last, last)
-            return tokens, n_gen, cache, counts, last
-        return jax.vmap(one)(logits0, caches, counts, deltas, rngs, active, last_tokens)
     return run
 
 
@@ -90,10 +87,10 @@ def make_pool_decode(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
 def _insert_slot(pool_k, pool_v, pool_offsets, pool_counts, pool_last,
                  slot, k, v, offset, counts, last):
     return (
-        pool_k.at[slot].set(k),
-        pool_v.at[slot].set(v),
-        pool_offsets.at[slot].set(offset),
-        pool_counts.at[slot].set(counts),
+        pool_k.at[:, slot].set(k[:, 0]),
+        pool_v.at[:, slot].set(v[:, 0]),
+        pool_offsets.at[slot].set(offset[0]),
+        pool_counts.at[slot].set(counts[0]),
         pool_last.at[slot].set(last),
     )
 
@@ -121,7 +118,7 @@ class StreamServer:
         self.capacity = capacity
         self._streams: dict[int, Stream] = {}
         self._next_sid = 0
-        self._decode = None
+        self._step = None
         self._inflight: Optional[tuple] = None   # (tokens_dev, n_gen_dev, slot_map, dispatch_ts)
         self._lock = threading.Lock()
         self._collector: Optional[threading.Thread] = None
@@ -178,12 +175,11 @@ class StreamServer:
         if self.pool_caches is not None:
             return
         engine = self.engine
-        cache = KVCache.zeros(engine.cfg.text, 1, engine.cache_len, engine.cache_dtype)
-        self.pool_caches = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (self.capacity,) + x.shape).copy(), cache
+        self.pool_caches = KVCache.zeros(
+            engine.cfg.text, self.capacity, engine.cache_len, engine.cache_dtype
         )
         self.pool_counts = jnp.zeros(
-            (self.capacity, 1, engine.cfg.text.vocab_size), jnp.int32
+            (self.capacity, engine.cfg.text.vocab_size), jnp.int32
         )
         self.pool_last = jnp.full((self.capacity,), -1, jnp.int32)
 
@@ -226,7 +222,7 @@ class StreamServer:
                 s = self._streams.get(sid)
                 if s is None:
                     continue
-                generated = tokens[slot, 0, : int(n_gen[slot, 0])].tolist()
+                generated = tokens[slot, : int(n_gen[slot])].tolist()
                 text = self.engine.tokenizer.decode(generated, skip_special_tokens=True)
                 s.outputs.append((span, text))
                 self.engine.metrics.record("chunk_e2e_latency", done - dispatched)
@@ -308,7 +304,7 @@ class StreamServer:
         patches = jnp.zeros((c,) + patches_ready.shape[1:], patches_ready.dtype)
         patches = patches.at[slots_arr].set(patches_ready)
 
-        ids = np.zeros((c, 1, bucket), np.int32)
+        ids = np.zeros((c, bucket), np.int32)
         valid = np.zeros((c,), np.int32)
         deltas = np.zeros((c,), np.int32)
         active = np.zeros((c,), bool)
@@ -317,26 +313,19 @@ class StreamServer:
             s = p["s"]
             slot = s.slot
             slot_map[slot] = (s.sid, p["span"], len(p["ids"]))
-            ids[slot, 0, : len(p["ids"])] = p["ids"]
+            ids[slot, : len(p["ids"])] = p["ids"]
             valid[slot] = len(p["ids"])
             deltas[slot] = s.rope_delta
             active[slot] = True
 
-        # Overlap: fetch the PREVIOUS tick's tokens while this tick's device
-        # work is being dispatched/queued.
-        logits0, self.pool_caches, self.pool_counts = pool_prefill(
-            engine.params, engine.cfg, jnp.asarray(ids), jnp.asarray(valid),
+        if self._step is None:
+            self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash)
+        engine._rng, sub = jax.random.split(engine._rng)
+        tokens, n_gen, self.pool_caches, self.pool_counts, self.pool_last = self._step(
+            engine.params, jnp.asarray(ids), jnp.asarray(valid),
             self.pool_caches, patches, vis0.cos, vis0.sin, vis0.seg_ids,
             self.pool_counts, self.pool_last, jnp.asarray(deltas),
-            jnp.asarray(active), use_flash=engine.use_flash,
-        )
-        if self._decode is None:
-            self._decode = make_pool_decode(engine.cfg, self.gen, engine.use_flash)
-        engine._rng, sub = jax.random.split(engine._rng)
-        rngs = jax.random.split(sub, c)
-        tokens, n_gen, self.pool_caches, self.pool_counts, self.pool_last = self._decode(
-            engine.params, logits0, self.pool_caches, self.pool_counts,
-            jnp.asarray(deltas), rngs, jnp.asarray(active), self.pool_last,
+            jnp.asarray(active), sub,
         )
         # background collector surfaces results the moment the device
         # finishes, while the main thread prepares the next tick

@@ -89,7 +89,7 @@ def test_cache_continuation_logits_parity(setup):
     ids2 = g["cont_ids2"]
     suffix = ids2[:, ids.shape[1]:]
     s = suffix.shape[1]
-    off = int(cache.offset)
+    off = int(cache.offset[0])
     # flat continuation positions (cached rope_deltas branch)
     pos = np.broadcast_to((np.arange(s) + off + delta)[None, None], (3, 1, s)).astype(np.int32)
     key_valid = (jnp.arange(cache.max_len) < off + s)[None, :]
@@ -112,7 +112,7 @@ def test_chunked_prefill_equals_full(setup):
 
     # chunked: mm chunk then text chunk
     _, cache, delta, _ = run_prefill(params, cfg, ids, grid, patches, bucket=32)
-    off = int(cache.offset)
+    off = int(cache.offset[0])
     s = extra.shape[1]
     bucket = 32
     ids_p = np.zeros((1, bucket), np.int32)
@@ -123,7 +123,7 @@ def test_chunked_prefill_equals_full(setup):
         jnp.int32(s), cache,
     )
     np.testing.assert_allclose(np.asarray(logits_chunk), np.asarray(logits_full), atol=2e-4, rtol=1e-3)
-    assert int(cache.offset) == full.shape[1]
+    assert int(cache.offset[0]) == full.shape[1]
 
 
 def test_prefill_padding_invariance(setup):

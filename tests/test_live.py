@@ -69,9 +69,9 @@ def test_video_qa_multiturn(engine, video):
     live = LiveCC(engine)
     session = live.open(video)
     a1 = live.video_qa(session, "what is shown?", gen=gen)
-    off1 = int(session.stream.cache.offset)
+    off1 = int(session.stream.cache.offset[0])
     a2 = live.video_qa(session, "and then?", gen=gen)
-    off2 = int(session.stream.cache.offset)
+    off2 = int(session.stream.cache.offset[0])
     assert isinstance(a1, str) and isinstance(a2, str)
     assert off2 > off1  # second turn continued the same cache
 

@@ -47,11 +47,11 @@ def test_streaming_state_progression(engine):
                            pad_token_id=engine.cfg.pad_token_id)
     state = engine.new_stream()
     engine.chunk_step(state, synth_frames(6), 0.0, 3.0, "q", gen)
-    off1 = int(state.cache.offset)
+    off1 = int(state.cache.offset[0])
     assert state.rope_delta is not None
     assert off1 == len(state.past_ids)  # cache holds exactly the history
     engine.chunk_step(state, synth_frames(2, seed=1), 3.0, 4.0, None, gen)
-    off2 = int(state.cache.offset)
+    off2 = int(state.cache.offset[0])
     assert off2 > off1
     assert off2 == len(state.past_ids)
 
