@@ -197,8 +197,9 @@ class LMMDataset:
         return turns, clips
 
     def preprocess_conversation_plain(self, conversation: list[dict]):
-        """Non-streaming samples (e.g. video QA SFT): whole-video turns."""
+        """Non-streaming samples (video QA / image SFT): whole-media turns."""
         clips = []
+        images = []
         turns = []
         for message in conversation:
             content = message["content"]
@@ -207,8 +208,11 @@ class LMMDataset:
                 continue
             out = []
             for element in content:
-                etype = element.get("type", "text" if "text" in element else "video")
-                if etype == "video" or "video" in element:
+                etype = element.get(
+                    "type",
+                    "text" if "text" in element else ("image" if "image" in element else "video"),
+                )
+                if etype == "video" or (etype != "image" and "video" in element):
                     reader = self.video_loader(element["video"])
                     n = smart_nframes(len(reader), reader.avg_fps, budget=self.budget)
                     idxs = linspace_sample(len(reader), n)
@@ -216,24 +220,45 @@ class LMMDataset:
                     rh, rw = self.budget.spatial_target(h, w, nframes=n)
                     clips.append(reader.get_batch(idxs, out_hw=(rh, rw)))
                     out.append({"type": "video"})
+                elif etype == "image":
+                    images.append(self._load_image(element["image"]))
+                    out.append({"type": "image"})
                 else:
                     out.append({"type": "text", "text": element["text"]})
             turns.append({"role": message["role"], "content": out})
-        return turns, clips
+        return turns, clips, images
+
+    def _load_image(self, source) -> np.ndarray:
+        """Image file/array -> [1, H, W, 3] uint8 at the image pixel budget."""
+        if isinstance(source, np.ndarray):
+            arr = source
+        else:
+            from PIL import Image
+            img = Image.open(source).convert("RGB")
+            h, w = self.budget.image_target(img.height, img.width)
+            arr = np.asarray(img.resize((w, h), Image.BICUBIC))
+        return arr[None]
 
     # ------------------------------------------------------------------
     # sample assembly
     # ------------------------------------------------------------------
 
-    def build_sample(self, turns: list[dict], clips: list[np.ndarray]) -> dict[str, Any]:
+    def build_sample(self, turns: list[dict], clips: list[np.ndarray],
+                     images: list[np.ndarray] = ()) -> dict[str, Any]:
         patches_list, grids = [], []
         for clip in clips:
             frames = np.transpose(clip, (0, 3, 1, 2))       # TCHW for host patchify
             p, g = patchify_video(frames)
             patches_list.append(p)
             grids.append(g)
+        img_patches, img_grids = [], []
+        for img in images:
+            p, g = patchify_video(np.transpose(img, (0, 3, 1, 2)))
+            img_patches.append(p)
+            img_grids.append(g)
         text = chat.render_chat(turns, add_generation_prompt=False)
-        text = chat.expand_vision_placeholders(text, video_grid_thw=grids)
+        text = chat.expand_vision_placeholders(text, video_grid_thw=grids,
+                                               image_grid_thw=img_grids)
         input_ids = np.asarray(self.tokenizer.encode(text), np.int32)[None]
 
         labels = np.full_like(input_ids, -100)
@@ -253,13 +278,17 @@ class LMMDataset:
                 labels[0, lo:en + 1] = input_ids[0, lo:en + 1]
 
         grid_arr = np.asarray(grids) if grids else None
-        pos, _ = get_rope_index(self.cfg, input_ids, video_grid_thw=grid_arr)
+        img_grid_arr = np.asarray(img_grids) if img_grids else None
+        pos, _ = get_rope_index(self.cfg, input_ids, video_grid_thw=grid_arr,
+                                image_grid_thw=img_grid_arr)
         return {
             "input_ids": input_ids,
             "labels": labels,
             "position_ids": pos,
             "pixel_patches": np.concatenate(patches_list) if patches_list else None,
             "video_grid_thw": grid_arr,
+            "image_patches": np.concatenate(img_patches) if img_patches else None,
+            "image_grid_thw": img_grid_arr,
         }
 
     def getitem(self, index: int) -> dict[str, Any]:
@@ -271,9 +300,9 @@ class LMMDataset:
         )
         if is_stream:
             turns, clips = self.preprocess_conversation_stream(conversation)
-        else:
-            turns, clips = self.preprocess_conversation_plain(conversation)
-        return self.build_sample(turns, clips)
+            return self.build_sample(turns, clips)
+        turns, clips, images = self.preprocess_conversation_plain(conversation)
+        return self.build_sample(turns, clips, images)
 
     def __getitem__(self, index: int) -> dict[str, Any]:
         for attempt in range(self.max_retries):

@@ -117,6 +117,9 @@ class MCQPredictor:
         self.video_loader = video_loader
 
     def _read_video(self, item: MCQItem):
+        import os
+        if os.path.isdir(item.video):
+            return self._read_frame_dir(item.video)
         reader = self.video_loader(item.video)
         pts = reader.pts_seconds
         base = np.arange(len(pts))
@@ -130,6 +133,30 @@ class MCQPredictor:
         h, w = reader.frame_size
         rh, rw = self.budget.spatial_target(h, w, nframes=n)
         return reader.get_batch(idxs, out_hw=(rh, rw))
+
+    def _read_frame_dir(self, path: str):
+        """Frame-directory items (MVBench tvqa: per-frame images sampled with
+        smart_nframes then resized — reference
+        evaluation/mvbench/distributed_evaluate_mvbench.py:44-51)."""
+        import os
+        from PIL import Image
+
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        if not files:
+            raise IOError(f"no frames in {path}")
+        n = smart_nframes(len(files), self.budget.fps,
+                          max_frames=self.max_frames, budget=self.budget)
+        keep = linspace_sample(len(files), n)
+        first = Image.open(os.path.join(path, files[keep[0]])).convert("RGB")
+        rh, rw = self.budget.spatial_target(first.height, first.width, nframes=n)
+        frames = []
+        for i in keep:
+            img = Image.open(os.path.join(path, files[i])).convert("RGB")
+            frames.append(np.asarray(img.resize((rw, rh), Image.BICUBIC)))
+        return np.stack(frames)
 
     def encode_item(self, item: MCQItem) -> dict:
         frames = self._read_video(item)

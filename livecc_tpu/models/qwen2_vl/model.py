@@ -164,10 +164,12 @@ def scatter_video_embeds(
     token_embeds: jnp.ndarray,   # [B, S, H]
     input_ids: jnp.ndarray,      # [B, S]
     video_embeds: jnp.ndarray,   # [Nv, H] (all videos concatenated, B==1 or aligned order)
+    token_id: int | None = None, # defaults to video_token_id; pass image_token_id for images
 ) -> jnp.ndarray:
-    """Place visual embeddings at ``video_token_id`` slots (order-preserving)."""
+    """Place visual embeddings at placeholder slots (order-preserving)."""
     b, s, h = token_embeds.shape
-    mask = (input_ids == cfg.video_token_id).reshape(-1)
+    token_id = cfg.video_token_id if token_id is None else token_id
+    mask = (input_ids == token_id).reshape(-1)
     idx = jnp.cumsum(mask) - 1
     gathered = video_embeds.astype(token_embeds.dtype)[jnp.clip(idx, 0, video_embeds.shape[0] - 1)]
     flat = jnp.where(mask[:, None], gathered, token_embeds.reshape(-1, h))
@@ -185,6 +187,7 @@ def forward(
     kv_limit: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
     compute_logits: bool = True,
+    vision_images: Optional[VisionInputs] = None,   # image clips -> image_token_id slots
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full multimodal forward. Returns (logits [B,S,V] fp32 or hidden, cache)."""
     embeds = params["text"]["embed"]["weight"][input_ids]
@@ -207,6 +210,13 @@ def forward(
                 vision.seg_ids,
             )
             embeds = scatter_video_embeds(cfg, embeds, input_ids, video_embeds)
+    if vision_images is not None:
+        image_embeds = vision_forward(
+            params["visual"], cfg.vision, vision_images.patches, vision_images.cos,
+            vision_images.sin, vision_images.seg_ids,
+        )
+        embeds = scatter_video_embeds(cfg, embeds, input_ids, image_embeds,
+                                      token_id=cfg.image_token_id)
     hidden, new_cache = text_forward(
         params["text"], cfg.text, embeds, position_ids, cache=cache,
         attention_mask=attention_mask, kv_limit=kv_limit, use_flash=use_flash,

@@ -49,6 +49,16 @@ def collate(samples: list[dict[str, Any]], cfg: ModelConfig) -> Batch:
     cos = np.ones((a, n_max, hd), np.float32)
     sin = np.zeros((a, n_max, hd), np.float32)
     seg = np.full((a, n_max), -1, np.int32)
+    has_images = any(x.get("image_patches") is not None for x in samples)
+    ni_max = _bucket(
+        max((x["image_patches"].shape[0] if x.get("image_patches") is not None else 1)
+            for x in samples),
+        PATCH_BUCKETS,
+    ) if has_images else 0
+    ipatches = np.zeros((a, ni_max, pd), np.float32)
+    icos = np.ones((a, ni_max, hd), np.float32)
+    isin = np.zeros((a, ni_max, hd), np.float32)
+    iseg = np.full((a, ni_max), -1, np.int32)
 
     for i, x in enumerate(samples):
         n = x["input_ids"].shape[1]
@@ -57,6 +67,16 @@ def collate(samples: list[dict[str, Any]], cfg: ModelConfig) -> Batch:
         pos[i, :, 0, :n] = x["position_ids"][:, 0]
         pos[i, :, 0, n:] = pos[i, :, 0, n - 1: n] + np.arange(1, s_max - n + 1)
         mask[i, 0, :n] = True
+        if has_images and x.get("image_patches") is not None:
+            p = x["image_patches"]
+            ipatches[i, : p.shape[0]] = p
+            igrids = [tuple(g) for g in x["image_grid_thw"]]
+            c, sn = vision_rotary_cos_sin(igrids, hd, spatial_merge_size=cfg.vision.spatial_merge_size)
+            icos[i, : c.shape[0]] = c
+            isin[i, : sn.shape[0]] = sn
+            iseg[i, : p.shape[0]] = np.concatenate(
+                [np.repeat(np.arange(t) + 10**6 * j, h * w) for j, (t, h, w) in enumerate(igrids)]
+            )
         if x["pixel_patches"] is not None:
             p = x["pixel_patches"]
             patches[i, : p.shape[0]] = p
@@ -77,4 +97,8 @@ def collate(samples: list[dict[str, Any]], cfg: ModelConfig) -> Batch:
         vision_cos=jnp.asarray(cos),
         vision_sin=jnp.asarray(sin),
         vision_seg_ids=jnp.asarray(seg),
+        image_patches=jnp.asarray(ipatches) if has_images else None,
+        image_cos=jnp.asarray(icos) if has_images else None,
+        image_sin=jnp.asarray(isin) if has_images else None,
+        image_seg_ids=jnp.asarray(iseg) if has_images else None,
     )

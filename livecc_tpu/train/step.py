@@ -97,6 +97,10 @@ class Batch:
     vision_cos: Optional[jnp.ndarray] = None       # [A, N, hd]
     vision_sin: Optional[jnp.ndarray] = None
     vision_seg_ids: Optional[jnp.ndarray] = None   # [A, N]
+    image_patches: Optional[jnp.ndarray] = None    # [A, Ni, patch_dim]
+    image_cos: Optional[jnp.ndarray] = None
+    image_sin: Optional[jnp.ndarray] = None
+    image_seg_ids: Optional[jnp.ndarray] = None
 
 
 def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -109,7 +113,12 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro) -> tuple
     vision = None
     if micro.vision_patches is not None:
         vision = VisionInputs(micro.vision_patches, micro.vision_cos, micro.vision_sin, micro.vision_seg_ids)
+    vision_images = None
+    if micro.image_patches is not None:
+        vision_images = VisionInputs(micro.image_patches, micro.image_cos,
+                                     micro.image_sin, micro.image_seg_ids)
     hidden, _ = forward(params, cfg, ids, pos, vision=vision,
+                        vision_images=vision_images,
                         attention_mask=mask, compute_logits=False)
     if cfg.text.tie_word_embeddings:
         kernel = params["text"]["embed"]["weight"].T

@@ -38,6 +38,10 @@ LIVECC_VIDEO_MIN_PIXELS = 100 * 28 * 28          # 78_400
 LIVECC_VIDEO_MAX_PIXELS = 24576 * 28 * 28        # 19_267_584
 LIVECC_FPS_MAX_FRAMES = 480
 
+# Image limits (Qwen2VLImageProcessor defaults: shortest_edge/longest_edge).
+IMAGE_MIN_PIXELS = 56 * 56                       # 3_136
+IMAGE_MAX_PIXELS = 28 * 28 * 1280                # 1_003_520
+
 
 @dataclasses.dataclass(frozen=True)
 class VisionBudget:
@@ -57,6 +61,14 @@ class VisionBudget:
     # qwen_vl_utils sets VIDEO_TOTAL_PIXELS from the VIDEO_MAX_PIXELS env var;
     # under LiveCC's settings the two are equal.
     video_total_pixels: int = LIVECC_VIDEO_MAX_PIXELS
+    image_min_pixels: int = IMAGE_MIN_PIXELS
+    image_max_pixels: int = IMAGE_MAX_PIXELS
+
+    def image_target(self, height: int, width: int) -> tuple[int, int]:
+        """(resized_h, resized_w) for a still image (processor defaults)."""
+        return smart_resize(height, width, factor=self.factor,
+                            min_pixels=self.image_min_pixels,
+                            max_pixels=self.image_max_pixels)
 
     def video_frame_max_pixels(self, nframes: int) -> float:
         """Per-frame pixel budget for an ``nframes``-frame clip.

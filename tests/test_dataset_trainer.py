@@ -146,3 +146,53 @@ def test_trainer_save_resume(dataset, tmp_path):
     a = np.asarray(jax.tree_util.tree_leaves(tr.params)[0])
     b = np.asarray(jax.tree_util.tree_leaves(tr2.params)[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_image_sample_and_training(corpus, tmp_path):
+    """Image-corpus rows (llava_ov-style single-image SFT) end to end."""
+    import jax
+
+    from livecc_tpu.data.lmm_dataset import LMMDataset, write_seek_index
+    from livecc_tpu.models.qwen2_vl.model import init_params
+    from livecc_tpu.train.data import collate
+    from livecc_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+
+    cfg = tiny_config()
+    # write an image file + image conversation row
+    from PIL import Image
+    img_path = str(tmp_path / "pic.png")
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (60, 90, 3), dtype=np.uint8)).save(img_path)
+    rows = [[
+        {"role": "user", "content": [
+            {"type": "image", "image": img_path},
+            {"type": "text", "text": "what is this?"},
+        ]},
+        {"role": "assistant", "content": [{"type": "text", "text": "a picture"}]},
+    ]]
+    path = str(tmp_path / "img.jsonl")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    write_seek_index(path)
+
+    ds = LMMDataset(annotation_paths=[path], tokenizer=ByteTokenizer(), cfg=cfg, max_retries=2)
+    x = ds[0]
+    assert x["image_patches"] is not None and x["pixel_patches"] is None
+    # image resized to 28-multiples >= 56x56 budget; grid t == 1
+    assert x["image_grid_thw"][0][0] == 1
+    n_img_tokens = int(np.prod(x["image_grid_thw"][0]) // 4)
+    assert (x["input_ids"][0] == cfg.image_token_id).sum() == n_img_tokens
+    # image span has 3D rope positions
+    pos = x["position_ids"]
+    span = x["input_ids"][0] == cfg.image_token_id
+    assert not np.array_equal(pos[1, 0, span], pos[2, 0, span])
+
+    # one training step over the image batch
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tcfg = TrainConfig(learning_rate=1e-4, total_steps=2, ce_chunk_size=128)
+    opt = make_optimizer(tcfg, params)
+    step = jax.jit(make_train_step(cfg, tcfg, opt))
+    batch = collate([x, x], cfg)
+    params, _, metrics = step(params, opt.init(params), batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -153,3 +153,19 @@ def test_prompt_and_join():
     assert "Match" in q and "he shoots" in q and "commentator" in q
     joined = livesports3kcc.join_commentary([[0, 1, "hello ..."], [1, 2, " ..."], [2, 3, "world"]])
     assert joined == "hello world"
+
+
+def test_mvbench_frame_directory(setup, tmp_path):
+    from PIL import Image
+
+    predictor, _, _ = setup
+    frame_dir = tmp_path / "frames"
+    frame_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        Image.fromarray(rng.randint(0, 255, (56, 56, 3), dtype=np.uint8)).save(
+            frame_dir / f"{i:03d}.jpg")
+    item = MCQItem(video=str(frame_dir), question="q",
+                   options=["A. a", "B. b", "C. c", "D. d"])
+    preds = predictor.predict([item])
+    assert preds[0] in "ABCD"
