@@ -121,3 +121,19 @@ def test_latency_tracker():
     s = tr.summary()
     assert s["x"]["n"] == 3 and abs(s["x"]["p50"] - 0.2) < 1e-6
     assert "y" in s
+
+
+def test_lightasd_scores():
+    import jax
+
+    from livecc_tpu.tools.lightasd import init_lightasd_params, lightasd_scores, track_score
+
+    params = init_lightasd_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    faces = rng.rand(1, 12, 112, 112).astype(np.float32)
+    audio = np.sin(np.linspace(0, 500, 12 * 640)).astype(np.float32)
+    feats = asd.mfcc(audio)[: 4 * 12]
+    logits = lightasd_scores(params, faces, feats[None])
+    assert logits.shape == (1, 12) and np.isfinite(np.asarray(logits)).all()
+    p = track_score(params, faces[0], feats)
+    assert 0.0 <= p <= 1.0
