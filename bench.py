@@ -26,7 +26,8 @@ import time
 
 import numpy as np
 
-N_STREAMS = 8
+import os
+N_STREAMS = int(os.environ.get("BENCH_STREAMS", 8))
 N_WARMUP = 2
 N_TICKS = 10
 
@@ -64,7 +65,7 @@ def main() -> None:
         pad_token_id=cfg.pad_token_id,
         repetition_penalty=1.05,
     )
-    server = StreamServer(engine, gen)
+    server = StreamServer(engine, gen, capacity=N_STREAMS)
 
     rng = np.random.RandomState(0)
     h, w = frame_hw

@@ -123,7 +123,6 @@ def render_commentary_video(
 
 
 def _write_wav(path: str, samples: np.ndarray, rate: int) -> None:
-    import struct
     import wave
 
     pcm = np.clip(samples, -1.0, 1.0)

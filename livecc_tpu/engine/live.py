@@ -21,7 +21,7 @@ import numpy as np
 
 from livecc_tpu.engine.generation import GenerationParams
 from livecc_tpu.engine.streaming import LiveCCEngine, StreamState
-from livecc_tpu.vision_io.budget import VisionBudget, smart_resize, smart_nframes, strict_fps_sample, snap_timestamps_to_pts
+from livecc_tpu.vision_io.budget import smart_resize, smart_nframes, strict_fps_sample, snap_timestamps_to_pts
 from livecc_tpu.vision_io.video_reader import VideoReader
 
 

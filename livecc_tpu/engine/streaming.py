@@ -21,7 +21,7 @@ commentary, history continues from all but each chunk's final token
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Iterator, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -32,11 +32,7 @@ from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.data import chat
 from livecc_tpu.data.tokenizer import Tokenizer
 from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill
-from livecc_tpu.models.qwen2_vl.model import (
-    VisionInputs,
-    get_rope_index,
-    prepare_vision_inputs,
-)
+from livecc_tpu.models.qwen2_vl.model import VisionInputs, get_rope_index
 from livecc_tpu.models.qwen2_vl.text import KVCache
 from livecc_tpu.ops.rope import vision_rotary_cos_sin
 from livecc_tpu.vision_io.budget import VisionBudget

@@ -2,8 +2,9 @@
 
 Behavioral contract: transformers Qwen2VLTextModel. Layer params are stacked
 on a leading ``num_hidden_layers`` axis and run under ``lax.scan``; the KV
-cache is a static-shape [L, B, Smax, Hk, D] pair updated in place via
-dynamic_update_slice (donated by the engine for zero-copy streaming).
+cache ([L, B, Hk, Smax, D], per-row offsets) rides in the scan carry and is
+updated in place via layer-indexed dynamic_update_slice (donated by the
+engine for zero-copy streaming).
 """
 
 from __future__ import annotations

@@ -131,7 +131,8 @@ class StreamServer:
     # -- stream lifecycle -------------------------------------------------
 
     def add_stream(self, resolution: tuple[int, int], query: str | None = None) -> int:
-        if not self._free:
+        reserved = sum(1 for s in self._streams.values())
+        if reserved >= self.capacity:
             raise RuntimeError(f"server at capacity ({self.capacity} streams)")
         sid = self._next_sid
         self._next_sid += 1

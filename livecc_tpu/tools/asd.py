@@ -15,7 +15,7 @@ aggregation) is implemented and tested here in numpy.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import numpy as np
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import json
 from collections import Counter, defaultdict
-from typing import Callable, Iterable, Iterator, Optional
+from typing import Callable, Iterator
 
 from livecc_tpu.data.lmm_dataset import read_last_line
 

@@ -15,7 +15,6 @@ frames, audio 100 fps MFCC -> both to 25 fps features), BiGRU via lax.scan.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

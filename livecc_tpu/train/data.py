@@ -9,7 +9,7 @@ spread maps to a handful of compiled programs.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import numpy as np
 

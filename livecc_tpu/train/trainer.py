@@ -20,12 +20,9 @@ import json
 import os
 import random
 import time
-from typing import Any, Optional
-
-import numpy as np
+from typing import Any
 
 import jax
-import optax
 
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.data.lmm_dataset import LMMDataset

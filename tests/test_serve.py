@@ -81,3 +81,12 @@ def test_stream_join_and_remove():
     server.remove_stream(s1)
     server.submit_chunk(s0, frames(3), 4.0, 5.0)
     assert server.tick() == 1
+
+
+def test_capacity_enforced():
+    engine = build_engine()
+    server = StreamServer(engine, gen_for(engine), capacity=2)
+    server.add_stream((28, 28))
+    server.add_stream((28, 28))
+    with pytest.raises(RuntimeError, match="capacity"):
+        server.add_stream((28, 28))
