@@ -52,7 +52,7 @@ def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
         init_value=0.0,
         peak_value=cfg.learning_rate,
         warmup_steps=warmup,
-        decay_steps=cfg.total_steps,
+        decay_steps=max(cfg.total_steps, warmup + 1),
         end_value=0.0,
     )
 

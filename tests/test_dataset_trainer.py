@@ -196,3 +196,16 @@ def test_image_sample_and_training(corpus, tmp_path):
     batch = collate([x, x], cfg)
     params, _, metrics = step(params, opt.init(params), batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_cli_smoke(corpus, tmp_path):
+    from livecc_tpu.train import cli
+
+    out = cli.main([
+        "--annotation_paths", corpus,
+        "--output_dir", str(tmp_path / "run"),
+        "--total_steps", "1", "--accum_steps", "1",
+        "--save_steps", "1", "--log_steps", "1",
+    ])
+    assert out["step"] == 1 and np.isfinite(out["loss"])
+    assert os.path.isdir(str(tmp_path / "run" / "ckpt"))
