@@ -140,3 +140,55 @@ def test_repetition_penalty_and_threshold():
     presence = jnp.asarray([[True, True, False, False]])
     out = np.asarray(apply_repetition_penalty(logits, presence, 2.0))
     np.testing.assert_allclose(out, [[1.0, -4.0, 1.0, 0.5]])
+
+
+def test_sampling_modes(setup):
+    """top_k=1 sampling == greedy; tiny top_p == greedy; sampling is seeded."""
+    g, params, cfg = setup
+    ids = g["text_ids"]
+    logits0, cache, delta, counts = run_prefill(params, cfg, ids)
+
+    def gen_with(**kw):
+        return GenerationParams(max_new_tokens=4, eos_token_id=cfg.eos_token_id,
+                                pad_token_id=cfg.pad_token_id, **kw)
+
+    def run(gen, c, cnt, seed=0):
+        tokens, n, _, _ = decode_chunk(
+            params, cfg, gen, logits0, c, cnt,
+            jnp.asarray([[delta]], jnp.int32), jax.random.PRNGKey(seed),
+        )
+        return np.asarray(tokens)[0][: int(n[0])].tolist()
+
+    import copy
+    fresh = lambda: run_prefill(params, cfg, ids)[1:4:2]  # (cache, counts)
+    c, cnt = fresh(); greedy = run(gen_with(), c, cnt)
+    c, cnt = fresh(); topk1 = run(gen_with(do_sample=True, top_k=1), c, cnt)
+    assert topk1 == greedy
+    c, cnt = fresh(); topp = run(gen_with(do_sample=True, top_p=1e-6), c, cnt)
+    assert topp == greedy
+    # seeded sampling is reproducible
+    c, cnt = fresh(); s1 = run(gen_with(do_sample=True, temperature=2.0), c, cnt, seed=7)
+    c, cnt = fresh(); s2 = run(gen_with(do_sample=True, temperature=2.0), c, cnt, seed=7)
+    assert s1 == s2
+
+
+def test_threshold_processor_suppresses_marker(setup):
+    """The streaming eos marker is masked while its probability is below the
+    ramping threshold (reference ThresholdLogitsProcessor, demo/infer.py:10-23)."""
+    g, params, cfg = setup
+    ids = g["text_ids"]
+    logits0, cache, delta, counts = run_prefill(params, cfg, ids)
+    # pick the greedy token as the 'marker': with threshold base 1.0 (never
+    # reached), it must never be emitted.
+    marker = int(np.argmax(np.asarray(logits0)[0]))
+    gen = GenerationParams(
+        max_new_tokens=4, eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
+        streaming_eos_token_id=marker, streaming_threshold_base=1.0,
+        streaming_threshold_step=0.0,
+    )
+    tokens, n, _, _ = decode_chunk(
+        params, cfg, gen, logits0, cache, counts,
+        jnp.asarray([[delta]], jnp.int32), jax.random.PRNGKey(0),
+    )
+    out = np.asarray(tokens)[0][: int(n[0])]
+    assert marker not in out[:1]  # first step cannot be the suppressed marker

@@ -169,3 +169,14 @@ def test_mvbench_frame_directory(setup, tmp_path):
                    options=["A. a", "B. b", "C. c", "D. d"])
     preds = predictor.predict([item])
     assert preds[0] in "ABCD"
+
+
+def test_mcq_batched_forward_matches_single(setup):
+    predictor, vids, _ = setup
+    items = [
+        MCQItem(video=vids[0], question="What?", options=["A. x", "B. y", "C. z", "D. w"]),
+        MCQItem(video=vids[1], question="Which?", options=["A. 1", "B. 2", "C. 3", "D. 4"]),
+    ]
+    single = predictor.predict(items, batch_size=1)
+    batched = predictor.predict(items, batch_size=2)
+    assert batched == single
