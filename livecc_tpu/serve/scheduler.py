@@ -150,8 +150,22 @@ class StreamServer:
             self._free.append(s.slot)
 
     def submit_chunk(self, sid: int, frames: np.ndarray, t0: float, t1: float) -> None:
-        """Queue one chunk ([T, H, W, 3] uint8 pre-scaled frames)."""
-        self._streams[sid].pending = (frames, t0, t1)
+        """Queue one chunk ([T, H, W, 3] uint8 pre-scaled frames).
+
+        Steady-state frames are staged to the device immediately (transfer +
+        patchify dispatch) so they overlap the in-flight tick's compute —
+        in a real deployment frames arrive during the previous second."""
+        s = self._streams[sid]
+        if s.slot is not None:
+            t, h, w = frames.shape[:3]
+            cfgv = self.engine.cfg.vision
+            grid = (max(t // cfgv.temporal_patch_size, 1),
+                    h // cfgv.patch_size, w // cfgv.patch_size)
+            n_pad = -(grid[0] * grid[1] * grid[2]) % PATCH_BUCKET
+            staged = device_patchify(jnp.asarray(frames), n_pad=n_pad)
+            s.pending = ((staged, grid), t0, t1)
+        else:
+            s.pending = (frames, t0, t1)
 
     def drain(self, sid: int, sync: bool = True) -> list[tuple[tuple[float, float], str]]:
         """Collected outputs for a stream. ``sync=True`` (default) waits for
@@ -169,6 +183,30 @@ class StreamServer:
         """Force collection of any in-flight results."""
         self._join_collector()
         self._collect()
+
+    def _vision_aux(self, grid, n_pad):
+        """Shared rotary/segment tables for a resolution class (cached on
+        device via the engine's per-grid cache)."""
+        from livecc_tpu.models.qwen2_vl.model import VisionInputs as VI
+        engine = self.engine
+        key = (grid, n_pad)
+        aux = engine._vision_aux_cache.get(key)
+        if aux is None:
+            from livecc_tpu.ops.rope import vision_rotary_cos_sin
+            cos, sin = vision_rotary_cos_sin(
+                [grid], engine.cfg.vision.head_dim,
+                spatial_merge_size=engine.cfg.vision.spatial_merge_size,
+            )
+            seg = np.repeat(np.arange(grid[0]), grid[1] * grid[2]).astype(np.int32)
+            if n_pad:
+                hd = cos.shape[1]
+                cos = np.concatenate([cos, np.ones((n_pad, hd), cos.dtype)])
+                sin = np.concatenate([sin, np.zeros((n_pad, hd), sin.dtype)])
+                seg = np.concatenate([seg, np.full((n_pad,), -1, np.int32)])
+            aux = (jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(seg))
+            engine._vision_aux_cache[key] = aux
+        cos, sin, seg = aux
+        return VI(patches=None, cos=cos, sin=sin, seg_ids=seg)
 
     # -- pool management ----------------------------------------------------
 
@@ -269,26 +307,22 @@ class StreamServer:
         # host prep: tokenize per stream, one frames stack
         preps = []
         for s in streams:
-            frames, t0, t1 = s.pending
+            (staged, grid), t0, t1 = s.pending
             s.pending = None
             content = [{"type": "text", "text": f"Time={t0:.1f}-{t1:.1f}s"},
                        {"type": "video", "video": None}]
             text = chat.render_chat([{"role": "user", "content": content}],
                                     add_generation_prompt=True)
             text = chat.strip_system_for_continuation(text, engine.sys_offset)
-            t, h, w = frames.shape[:3]
-            grid = (max(t // engine.cfg.vision.temporal_patch_size, 1),
-                    h // engine.cfg.vision.patch_size, w // engine.cfg.vision.patch_size)
             text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])
             preps.append({"s": s, "ids": engine.tokenizer.encode(text), "grid": grid,
-                          "frames": frames, "span": (t0, t1)})
+                          "staged": staged, "span": (t0, t1)})
         grid = preps[0]["grid"]
         if any(p["grid"] != grid for p in preps):
             raise RuntimeError("streams in one pool must share a resolution class")
         n = grid[0] * grid[1] * grid[2]
         n_pad = -n % PATCH_BUCKET
-        # shared vision aux (cached per grid inside the engine)
-        _, vis0 = engine._device_vision(preps[0]["frames"][:2])
+        vis0 = self._vision_aux(grid, n_pad)
         bucket = _bucket(max(len(p["ids"]) for p in preps))
         for p in preps:   # conservative capacity check (host upper bound)
             s = p["s"]
@@ -296,11 +330,8 @@ class StreamServer:
             if s.length_ub + bucket > self.pool_caches.max_len:
                 raise RuntimeError("pool cache exhausted; raise engine.cache_len")
 
-        # batched patchify: one transfer, one dispatch, one scatter
-        stacked = np.stack([p["frames"] for p in preps])
-        patches_ready = jax.vmap(
-            lambda f: device_patchify(f, n_pad=n_pad)
-        )(jnp.asarray(stacked))
+        # frames were staged at submit time; one scatter into slot order
+        patches_ready = jnp.stack([p["staged"] for p in preps])
         slots_arr = jnp.asarray([p["s"].slot for p in preps])
         patches = jnp.zeros((c,) + patches_ready.shape[1:], patches_ready.dtype)
         patches = patches.at[slots_arr].set(patches_ready)

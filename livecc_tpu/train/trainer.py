@@ -123,23 +123,39 @@ class Trainer:
             for _ in range(self.run.accum_steps)
         ]
 
+    def _load_batch(self, indices: list[int]):
+        samples = [self.dataset[i] for i in indices]
+        return collate(samples, self.cfg)
+
     def train(self) -> dict:
+        """Run to total_steps with one-batch lookahead prefetch.
+
+        The reference hides data latency behind 16 DataLoader worker
+        processes (lmm_dataset.py __main__, num_workers=16); here a
+        background thread decodes/collates batch N+1 (video decode releases
+        the GIL in the native library) while the device runs step N.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         rng = random.Random(self.run.seed + self.step)
         t0 = time.time()
         last = {}
-        while self.step < self.run.total_steps:
-            samples = [self.dataset[i] for i in self.sample_indices(rng)]
-            batch = collate(samples, self.cfg)
-            self.params, self.opt_state, metrics = self.step_fn(self.params, self.opt_state, batch)
-            self.step += 1
-            if self.step % self.run.log_steps == 0 or self.step == self.run.total_steps:
-                last = {
-                    "step": self.step,
-                    "loss": float(metrics["loss"]),
-                    "tokens": int(metrics["tokens"]),
-                    "elapsed_s": round(time.time() - t0, 2),
-                }
-                self._log(last)
-            if self.step % self.run.save_steps == 0 or self.step == self.run.total_steps:
-                self.save()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            future = pool.submit(self._load_batch, self.sample_indices(rng))
+            while self.step < self.run.total_steps:
+                batch = future.result()
+                if self.step + 1 < self.run.total_steps:
+                    future = pool.submit(self._load_batch, self.sample_indices(rng))
+                self.params, self.opt_state, metrics = self.step_fn(self.params, self.opt_state, batch)
+                self.step += 1
+                if self.step % self.run.log_steps == 0 or self.step == self.run.total_steps:
+                    last = {
+                        "step": self.step,
+                        "loss": float(metrics["loss"]),
+                        "tokens": int(metrics["tokens"]),
+                        "elapsed_s": round(time.time() - t0, 2),
+                    }
+                    self._log(last)
+                if self.step % self.run.save_steps == 0 or self.step == self.run.total_steps:
+                    self.save()
         return last
