@@ -144,11 +144,16 @@ def prefill(
     key_valid = None
     if not use_flash:
         key_valid = jnp.arange(cache.max_len)[None, :] < kv_limit[:, None]
-    logits, new_cache = forward(
+    hidden, new_cache = forward(
         params, cfg, ids, position_ids, vision=vision, cache=cache,
         attention_mask=key_valid, kv_limit=kv_limit, use_flash=use_flash,
+        compute_logits=False,
     )
-    last = logits[jnp.arange(b), jnp.maximum(valid_len - 1, 0)]      # [B, V]
+    # Project ONLY the last valid position per row: full-bucket logits would
+    # materialize [B, S, 152k] fp32 (20 GB at a 32k long-video bucket).
+    from livecc_tpu.models.qwen2_vl.text import lm_logits
+    last_hidden = hidden[jnp.arange(b), jnp.maximum(valid_len - 1, 0)]  # [B, H]
+    last = lm_logits(params["text"], cfg.text, last_hidden[:, None, :])[:, 0]  # [B, V]
     new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + valid_len)
     if counts is not None:
         counts = update_counts(counts, ids, valid_len,

@@ -40,7 +40,7 @@ from livecc_tpu.vision_io.patchify import device_patchify
 
 Params = dict[str, Any]
 
-TOKEN_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+TOKEN_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
 PATCH_BUCKET = 256          # patch-count granularity for ViT shapes
 
 
@@ -197,7 +197,9 @@ class LiveCCEngine:
         grid = (max(t // self.cfg.vision.temporal_patch_size, 1),
                 h // self.cfg.vision.patch_size, w // self.cfg.vision.patch_size)
         n = grid[0] * grid[1] * grid[2]
-        n_pad = -n % PATCH_BUCKET
+        # Uniform grid: blocked ViT attention needs no padding (each temporal
+        # group is one attention block), so ship exactly N patches.
+        n_pad = 0
         patches = device_patchify(jnp.asarray(frames), n_pad=n_pad)
         key = (grid, n_pad)
         aux = self._vision_aux_cache.get(key)
@@ -215,7 +217,8 @@ class LiveCCEngine:
             aux = (jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(seg))
             self._vision_aux_cache[key] = aux
         cos, sin, seg = aux
-        return grid, VisionInputs(patches=patches, cos=cos, sin=sin, seg_ids=seg)
+        return grid, VisionInputs(patches=patches, cos=cos, sin=sin, seg_ids=seg,
+                                  group=grid[1] * grid[2])
 
     def _run_chunk(
         self,

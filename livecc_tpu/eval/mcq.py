@@ -85,9 +85,12 @@ def mcq_logits_at_last(
     vision: Optional[VisionInputs] = None,
 ) -> jnp.ndarray:
     """Returns [B] argmax index into ``letter_ids``."""
-    logits, _ = forward(params, cfg, ids, position_ids, vision=vision,
-                        attention_mask=attention_mask)
-    last = logits[jnp.arange(ids.shape[0]), last_idx]           # [B, V]
+    hidden, _ = forward(params, cfg, ids, position_ids, vision=vision,
+                        attention_mask=attention_mask, compute_logits=False)
+    # project only the scored position (full logits would be [B, S, 152k])
+    from livecc_tpu.models.qwen2_vl.text import lm_logits
+    last_hidden = hidden[jnp.arange(ids.shape[0]), last_idx]   # [B, H]
+    last = lm_logits(params["text"], cfg.text, last_hidden[:, None, :])[:, 0]
     return jnp.argmax(last[:, letter_ids], axis=-1)
 
 

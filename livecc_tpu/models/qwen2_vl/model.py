@@ -46,27 +46,37 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class VisionInputs:
-    """Device-ready ViT inputs for one forward (all arrays, static shapes)."""
+    """Device-ready ViT inputs for one forward (all arrays, static shapes).
+
+    ``group`` (static) is the per-temporal-group patch count (grid h*w) when
+    uniform — enables the O(N) blocked ViT attention path."""
 
     patches: jnp.ndarray    # [N, patch_dim]
     cos: jnp.ndarray        # [N, head_dim]
     sin: jnp.ndarray        # [N, head_dim]
     seg_ids: jnp.ndarray    # [N] int32 (pad patches < 0)
+    group: int | None = dataclasses.field(default=None, metadata=dict(static=True))
 
 
 def prepare_vision_inputs(cfg: ModelConfig, patches, grid_thw: list[tuple[int, int, int]]) -> VisionInputs:
-    """Build rotary tables + segment mask for a set of clips (host-side)."""
+    """Build rotary tables + segment ids for a set of clips (host-side).
+
+    When every clip shares one (h, w), the static ``group`` is set and the
+    ViT uses the blocked O(N) attention path."""
     cos, sin = vision_rotary_cos_sin(
         grid_thw, cfg.vision.head_dim, spatial_merge_size=cfg.vision.spatial_merge_size
     )
     seg_ids = np.concatenate(
         [np.repeat(np.arange(t) + 10**6 * i, h * w) for i, (t, h, w) in enumerate(grid_thw)]
     ).astype(np.int32)
+    hws = {(h, w) for _, h, w in grid_thw}
+    group = (grid_thw[0][1] * grid_thw[0][2]) if len(hws) == 1 else None
     return VisionInputs(
         patches=jnp.asarray(patches),
         cos=jnp.asarray(cos),
         sin=jnp.asarray(sin),
         seg_ids=jnp.asarray(seg_ids),
+        group=group,
     )
 
 
@@ -198,7 +208,7 @@ def forward(
             video_embeds = jax.vmap(
                 lambda patches: vision_forward(
                     params["visual"], cfg.vision, patches,
-                    vision.cos, vision.sin, vision.seg_ids,
+                    vision.cos, vision.sin, vision.seg_ids, vision.group,
                 )
             )(vision.patches)                                   # [B, Nv, H]
             embeds = jax.vmap(
@@ -207,13 +217,13 @@ def forward(
         else:
             video_embeds = vision_forward(
                 params["visual"], cfg.vision, vision.patches, vision.cos, vision.sin,
-                vision.seg_ids,
+                vision.seg_ids, vision.group,
             )
             embeds = scatter_video_embeds(cfg, embeds, input_ids, video_embeds)
     if vision_images is not None:
         image_embeds = vision_forward(
             params["visual"], cfg.vision, vision_images.patches, vision_images.cos,
-            vision_images.sin, vision_images.seg_ids,
+            vision_images.sin, vision_images.seg_ids, vision_images.group,
         )
         embeds = scatter_video_embeds(cfg, embeds, input_ids, image_embeds,
                                       token_id=cfg.image_token_id)

@@ -63,23 +63,38 @@ def vision_forward(
     cos: jnp.ndarray,        # [N, head_dim] vision rotary (ops.rope.vision_rotary_cos_sin)
     sin: jnp.ndarray,        # [N, head_dim]
     seg_ids: jnp.ndarray,    # [N] int32 — per-temporal-group segment ids (pad < 0)
+    group_size: int | None = None,   # static h*w when all groups are equal
 ) -> jnp.ndarray:
     """[N, patch_dim] -> [N / merge**2, hidden_size] visual embeddings.
 
-    The block-diagonal attention mask (cu_seqlens semantics) is built on
-    device from compact seg_ids — hosts ship O(N) metadata, not O(N^2).
+    Attention is restricted to per-temporal-group segments (cu_seqlens
+    semantics). When ``group_size`` (= grid h*w, static) is given — every
+    single-video path — attention runs as [N/hw, heads, hw, hw] batched
+    blocks: nothing O(N^2) is ever built, so 480-frame / 24k-token videos
+    fit (a full mask would be ~90k x 90k). Without it, a seg_ids-derived
+    mask handles mixed-size clips (small-N eval batches).
     """
     n = patches.shape[0]
-    seg_mask = seg_ids[:, None] == seg_ids[None, :]
+    grouped = group_size is not None and n % group_size == 0
+    seg_mask = None if grouped else (seg_ids[:, None] == seg_ids[None, :])
     h, hd = cfg.num_heads, cfg.head_dim
     x = patches.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
+
+    def attend(q, k, v):
+        if grouped:
+            g = group_size
+            qb = q.reshape(n // g, g, h, hd)
+            kb = k.reshape(n // g, g, h, hd)
+            vb = v.reshape(n // g, g, h, hd)
+            return mha(qb, kb, vb).reshape(n, h, hd)
+        return mha(q[None], k[None], v[None], mask=seg_mask[None, None])[0]
 
     def block(x, layer):
         y = layer_norm(x, layer["norm1_scale"], layer["norm1_bias"], cfg.layer_norm_eps)
         qkv = y @ layer["qkv_kernel"] + layer["qkv_bias"]
         q, k, v = jnp.split(qkv.reshape(n, 3 * h, hd), 3, axis=1)
         q, k = apply_rotary_vision(q, k, cos, sin)
-        attn = mha(q[None], k[None], v[None], mask=seg_mask[None, None])[0]
+        attn = attend(q, k, v)
         x = x + attn.reshape(n, h * hd) @ layer["proj_kernel"] + layer["proj_bias"]
         y = layer_norm(x, layer["norm2_scale"], layer["norm2_bias"], cfg.layer_norm_eps)
         y = quick_gelu(y @ layer["fc1_kernel"] + layer["fc1_bias"]) @ layer["fc2_kernel"] + layer["fc2_bias"]

@@ -54,16 +54,17 @@ def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
     batched and the Pallas kernels see the whole pool in one grid).
     """
 
-    @functools.partial(jax.jit, donate_argnames=("cache", "counts", "last_tokens"))
+    @functools.partial(jax.jit, donate_argnames=("cache", "counts", "last_tokens"),
+                       static_argnames=("group",))
     def run(params, ids, valid, cache, patches, cos, sin, seg,
-            counts, last_tokens, deltas, active, rng):
+            counts, last_tokens, deltas, active, rng, group=None):
         b, sb = ids.shape
         pos = jnp.broadcast_to(
             jnp.arange(sb)[None, None, :] + (cache.offset + deltas)[None, :, None],
             (3, b, sb),
         ).astype(jnp.int32)
         remove = jnp.where(active, last_tokens, -1)
-        vision = VisionInputs(patches=patches, cos=cos, sin=sin, seg_ids=seg)
+        vision = VisionInputs(patches=patches, cos=cos, sin=sin, seg_ids=seg, group=group)
         logits0, cache, counts = prefill(
             params, cfg, ids, pos, valid, cache, vision=vision,
             counts=counts, remove_token=remove, use_flash=use_flash,
@@ -161,8 +162,7 @@ class StreamServer:
             cfgv = self.engine.cfg.vision
             grid = (max(t // cfgv.temporal_patch_size, 1),
                     h // cfgv.patch_size, w // cfgv.patch_size)
-            n_pad = -(grid[0] * grid[1] * grid[2]) % PATCH_BUCKET
-            staged = device_patchify(jnp.asarray(frames), n_pad=n_pad)
+            staged = device_patchify(jnp.asarray(frames), n_pad=0)
             s.pending = ((staged, grid), t0, t1)
         else:
             s.pending = (frames, t0, t1)
@@ -206,7 +206,7 @@ class StreamServer:
             aux = (jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(seg))
             engine._vision_aux_cache[key] = aux
         cos, sin, seg = aux
-        return VI(patches=None, cos=cos, sin=sin, seg_ids=seg)
+        return VI(patches=None, cos=cos, sin=sin, seg_ids=seg, group=grid[1] * grid[2])
 
     # -- pool management ----------------------------------------------------
 
@@ -320,9 +320,7 @@ class StreamServer:
         grid = preps[0]["grid"]
         if any(p["grid"] != grid for p in preps):
             raise RuntimeError("streams in one pool must share a resolution class")
-        n = grid[0] * grid[1] * grid[2]
-        n_pad = -n % PATCH_BUCKET
-        vis0 = self._vision_aux(grid, n_pad)
+        vis0 = self._vision_aux(grid, 0)
         bucket = _bucket(max(len(p["ids"]) for p in preps))
         for p in preps:   # conservative capacity check (host upper bound)
             s = p["s"]
@@ -357,7 +355,7 @@ class StreamServer:
             engine.params, jnp.asarray(ids), jnp.asarray(valid),
             self.pool_caches, patches, vis0.cos, vis0.sin, vis0.seg_ids,
             self.pool_counts, self.pool_last, jnp.asarray(deltas),
-            jnp.asarray(active), sub,
+            jnp.asarray(active), sub, group=vis0.group,
         )
         # background collector surfaces results the moment the device
         # finishes, while the main thread prepares the next tick

@@ -60,3 +60,39 @@ def test_flash_decode_matches_reference(kv_len):
     mask = (jnp.arange(smax) < kv_len)[None, None, None, :]
     ref = mha_bhsd(q, k, v, mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_prefill_layered_cache():
+    """Layer-indexed 5D cache (the scanned-transformer hot path) matches the
+    per-layer-sliced reference, at real head_dim=128 GQA shapes."""
+    rng = np.random.RandomState(3)
+    L, b, hq, hk, d, smax, sq = 3, 2, 12, 2, 128, 512, 64
+    q = jnp.asarray(rng.randn(b, hq, sq, d).astype(np.float32))
+    k5 = jnp.asarray(rng.randn(L, b, hk, smax, d).astype(np.float32))
+    v5 = jnp.asarray(rng.randn(L, b, hk, smax, d).astype(np.float32))
+    off = jnp.asarray([100, 37], jnp.int32)           # per-row offsets
+    limit = off + sq
+    for li in (0, 2):
+        out = flash_prefill(q, k5, v5, off, limit, jnp.int32(li),
+                            bq=32, bk=128, interpret=True)
+        ref = flash_prefill(q, k5[li], v5[li], off, limit,
+                            bq=32, bk=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+        # and the 4D path against the XLA reference with per-row offsets
+        mask = kv_cache_mask(sq, smax, off)
+        mask = mask & (jnp.arange(smax)[None, None, None, :] < limit[:, None, None, None])
+        xla = mha_bhsd(q, k5[li], v5[li], mask=mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xla), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_layered_cache_per_row_limits():
+    rng = np.random.RandomState(4)
+    L, b, hq, hk, d, smax = 2, 3, 12, 2, 128, 512
+    q = jnp.asarray(rng.randn(b, hq, 1, d).astype(np.float32))
+    k5 = jnp.asarray(rng.randn(L, b, hk, smax, d).astype(np.float32))
+    v5 = jnp.asarray(rng.randn(L, b, hk, smax, d).astype(np.float32))
+    limits = jnp.asarray([1, 200, 512], jnp.int32)    # per-row cache depths
+    out = flash_decode(q, k5, v5, limits, jnp.int32(1), bk=128, interpret=True)
+    mask = (jnp.arange(smax)[None, None, None, :] < limits[:, None, None, None])
+    ref = mha_bhsd(q, k5[1], v5[1], mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
