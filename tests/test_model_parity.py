@@ -13,6 +13,7 @@ import os
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from livecc_tpu.core.config import tiny_config
@@ -79,3 +80,50 @@ def test_vision_tower_parity(golden, params_and_cfg):
     vis = m.prepare_vision_inputs(cfg, patches, [tuple(g) for g in grid])
     out = m.vision_forward(params["visual"], cfg.vision, vis.patches, vis.cos, vis.sin, vis.seg_ids)
     np.testing.assert_allclose(np.asarray(out), golden["v_out"], atol=2e-4, rtol=1e-3)
+
+
+def test_safetensors_checkpoint_roundtrip(golden, params_and_cfg, tmp_path):
+    """HF checkpoint-directory loading (safetensors shards + config.json)
+    produces the same params as the in-memory converter."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from livecc_tpu.models.qwen2_vl.convert import config_from_hf_json, load_safetensors_dir
+
+    params_ref, cfg = params_and_cfg
+    state = {k[len("state::"):]: golden[k] for k in golden.files if k.startswith("state::")}
+    # shard the state dict across two files like HF does
+    keys = sorted(state)
+    half = len(keys) // 2
+    save_file({k: state[k] for k in keys[:half]}, str(tmp_path / "model-00001.safetensors"))
+    save_file({k: state[k] for k in keys[half:]}, str(tmp_path / "model-00002.safetensors"))
+    hf_config = {
+        "vision_config": {"depth": cfg.vision.depth, "embed_dim": cfg.vision.embed_dim,
+                          "num_heads": cfg.vision.num_heads, "hidden_size": cfg.vision.hidden_size},
+        "vocab_size": cfg.text.vocab_size, "hidden_size": cfg.text.hidden_size,
+        "intermediate_size": cfg.text.intermediate_size,
+        "num_hidden_layers": cfg.text.num_hidden_layers,
+        "num_attention_heads": cfg.text.num_attention_heads,
+        "num_key_value_heads": cfg.text.num_key_value_heads,
+        "rope_scaling": {"type": "mrope", "mrope_section": list(cfg.text.mrope_section)},
+        "tie_word_embeddings": cfg.text.tie_word_embeddings,
+        "bos_token_id": cfg.bos_token_id, "eos_token_id": cfg.eos_token_id,
+        "vision_start_token_id": cfg.vision_start_token_id,
+        "vision_end_token_id": cfg.vision_end_token_id,
+        "image_token_id": cfg.image_token_id, "video_token_id": cfg.video_token_id,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_config))
+
+    loaded_cfg = config_from_hf_json(str(tmp_path))
+    assert loaded_cfg.text.num_hidden_layers == cfg.text.num_hidden_layers
+    assert loaded_cfg.text.mrope_section == cfg.text.mrope_section
+    assert loaded_cfg.video_token_id == cfg.video_token_id
+
+    import jax.numpy as jnp
+    params = load_safetensors_dir(str(tmp_path), loaded_cfg, dtype=jnp.float32)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(params_ref)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
