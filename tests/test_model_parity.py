@@ -127,3 +127,46 @@ def test_safetensors_checkpoint_roundtrip(golden, params_and_cfg, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tied_embeddings_parity():
+    """Tied-word-embedding configs (the 2B family) match HF logits and
+    greedy generate — exercises the embed.T lm_head path."""
+    import dataclasses
+
+    import jax.random
+
+    from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill
+    from livecc_tpu.models.qwen2_vl.text import KVCache
+
+    g2 = np.load(os.path.join(os.path.dirname(__file__), "goldens", "hf_tiny_tied.npz"))
+    base = tiny_config()
+    cfg = dataclasses.replace(base, text=dataclasses.replace(base.text, tie_word_embeddings=True))
+    state = {k[len("state::"):]: g2[k] for k in g2.files if k.startswith("state::")}
+    params = m.convert_state_dict(state, cfg)
+    assert "lm_head" not in params["text"]
+
+    ids = g2["text_ids"]
+    pos, delta = m.get_rope_index(cfg, ids)
+    logits, _ = m.forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(logits), g2["text_logits"], atol=2e-4, rtol=1e-3)
+
+    # greedy generate parity
+    n = ids.shape[1]
+    bucket = 32
+    ids_p = np.zeros((1, bucket), np.int32)
+    ids_p[0, :n] = ids[0]
+    pos_p = np.zeros((3, 1, bucket), np.int32)
+    pos_p[:, :, :n] = pos
+    pos_p[:, :, n:] = pos[:, :, -1:] + np.arange(1, bucket - n + 1)
+    cache = KVCache.zeros(cfg.text, 1, 128)
+    counts = jnp.zeros((1, cfg.text.vocab_size), jnp.int32)
+    logits0, cache, counts = prefill(params, cfg, jnp.asarray(ids_p), jnp.asarray(pos_p),
+                                     jnp.int32(n), cache, counts=counts)
+    gen = GenerationParams(max_new_tokens=8, eos_token_id=cfg.eos_token_id,
+                           pad_token_id=cfg.pad_token_id)
+    tokens, n_gen, _, _ = decode_chunk(params, cfg, gen, logits0, cache, counts,
+                                       jnp.asarray([[int(delta[0, 0])]], jnp.int32),
+                                       jax.random.PRNGKey(0))
+    generated = np.asarray(tokens)[0][: int(n_gen[0])]
+    np.testing.assert_array_equal(generated, g2["gen_text_ids"][0, n:])
