@@ -85,3 +85,25 @@ def test_cli_smoke(engine, video, tmp_path, monkeypatch):
                        "--output", str(out), "--streaming-eos-base-threshold", "-1"])
     assert result["commentaries"]
     assert json.loads(out.read_text())["video_path"] == video
+
+
+def test_live_video_shorter_than_init_window(engine, tmp_path):
+    """A clip shorter than the 3 s init window still produces one chunk and
+    then flags video_end (reference end-of-video guard, demo/infer.py:99-101)."""
+    from livecc_tpu.engine import GenerationParams
+    from livecc_tpu.engine.live import LiveCC
+
+    path = str(tmp_path / "short.mp4")
+    rng = np.random.RandomState(0)
+    vr.encode_test_video(path, rng.randint(0, 255, (20, 56, 56, 3), dtype=np.uint8), fps=10)
+    gen = GenerationParams(max_new_tokens=4, eos_token_id=engine.cfg.eos_token_id,
+                           pad_token_id=engine.cfg.pad_token_id)
+    live = LiveCC(engine)
+    session = live.open(path)   # 2 s video
+    outs = []
+    for t in range(4):
+        outs.extend(list(live.live_cc(session, float(t), query="q", gen=gen)))
+        if session.video_end:
+            break
+    assert session.video_end
+    assert len(outs) >= 1

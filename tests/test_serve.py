@@ -90,3 +90,25 @@ def test_capacity_enforced():
     server.add_stream((28, 28))
     with pytest.raises(RuntimeError, match="capacity"):
         server.add_stream((28, 28))
+
+
+def test_remove_stream_with_inflight_results():
+    """Removing a stream whose results are still in flight must not corrupt
+    other streams or crash collection."""
+    engine = build_engine()
+    server = StreamServer(engine, gen_for(engine), capacity=3)
+    s0 = server.add_stream((28, 28), query="a")
+    s1 = server.add_stream((28, 28), query="b")
+    for sid, seed in ((s0, 0), (s1, 9)):
+        server.submit_chunk(sid, frames(seed, 6), 0.0, 3.0)
+    server.tick()
+    server.submit_chunk(s0, frames(1), 3.0, 4.0)
+    server.submit_chunk(s1, frames(2), 3.0, 4.0)
+    server.tick()                       # results in flight
+    server.remove_stream(s1)            # forces collect; s1 vanishes
+    out0 = server.drain(s0)
+    assert len(out0) == 2               # s0 unaffected
+    # freed slot is reusable
+    s2 = server.add_stream((28, 28), query="c")
+    server.submit_chunk(s2, frames(3, 6), 0.0, 3.0)
+    assert server.tick() == 1
