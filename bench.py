@@ -56,8 +56,9 @@ def main() -> None:
 
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = jax.block_until_ready(params)
+    cache_len = int(os.environ.get("BENCH_CACHE_LEN", 8192))
     engine = LiveCCEngine(
-        params, cfg, ByteTokenizer.for_config(cfg), cache_len=8192, cache_dtype=jnp.bfloat16
+        params, cfg, ByteTokenizer.for_config(cfg), cache_len=cache_len, cache_dtype=jnp.bfloat16
     )
     gen = GenerationParams(
         max_new_tokens=16,

@@ -7,10 +7,10 @@ from livecc_tpu.engine.generation import (
     apply_repetition_penalty,
     select_token,
 )
-from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, TOKEN_BUCKETS, PATCH_BUCKET
+from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, TOKEN_BUCKETS
 
 __all__ = [
     "GenerationParams", "decode_chunk", "prefill", "presence_from_ids", "update_counts",
     "apply_repetition_penalty", "select_token",
-    "LiveCCEngine", "StreamState", "TOKEN_BUCKETS", "PATCH_BUCKET",
+    "LiveCCEngine", "StreamState", "TOKEN_BUCKETS",
 ]

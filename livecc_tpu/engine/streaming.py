@@ -6,9 +6,8 @@ into the growing KV cache -> decode <=16 tokens) runs over *bucketed static
 shapes* so a real-time stream never triggers a recompile:
 
   * prompt-token chunks are right-padded to power-of-two buckets;
-  * vision patch counts are padded to PATCH_BUCKET multiples (the padded
-    patches land in their own attention segment and their embeddings are
-    never gathered by the video-token scatter);
+  * vision shapes are exact per resolution class (the ViT's per-temporal-
+    group blocked attention needs no padding: one grid = one shape);
   * the KV cache is a donated static buffer that doubles when exhausted.
 
 Chunking semantics mirror the reference exactly: 6-frame (3 s) initial chunk
@@ -41,7 +40,6 @@ from livecc_tpu.vision_io.patchify import device_patchify
 Params = dict[str, Any]
 
 TOKEN_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
-PATCH_BUCKET = 256          # patch-count granularity for ViT shapes
 
 
 def _bucket(n: int, buckets: Sequence[int] = TOKEN_BUCKETS) -> int:

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.data import chat
 from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill
-from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, _bucket, PATCH_BUCKET
+from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, _bucket
 from livecc_tpu.models.qwen2_vl.model import VisionInputs
 from livecc_tpu.models.qwen2_vl.text import KVCache
 from livecc_tpu.vision_io.patchify import device_patchify
