@@ -192,7 +192,9 @@ class LiveCCEngine:
         for a streaming video they are computed exactly once.
         """
         t, h, w, _ = frames.shape
-        grid = (max(t // self.cfg.vision.temporal_patch_size, 1),
+        # ceil: device_patchify pads T up to a temporal_patch_size multiple,
+        # so an odd T must count the padded group (HF computes grid after pad).
+        grid = (max(-(-t // self.cfg.vision.temporal_patch_size), 1),
                 h // self.cfg.vision.patch_size, w // self.cfg.vision.patch_size)
         n = grid[0] * grid[1] * grid[2]
         # Uniform grid: blocked ViT attention needs no padding (each temporal

@@ -120,7 +120,7 @@ class StreamServer:
         self._streams: dict[int, Stream] = {}
         self._next_sid = 0
         self._step = None
-        self._inflight: Optional[tuple] = None   # (tokens_dev, n_gen_dev, slot_map, dispatch_ts)
+        self._inflight: list[tuple] = []   # (tokens_dev, n_gen_dev, slot_map, dispatch_ts)
         self._lock = threading.Lock()
         self._collector: Optional[threading.Thread] = None
         # pool device state (lazy)
@@ -160,7 +160,8 @@ class StreamServer:
         if s.slot is not None:
             t, h, w = frames.shape[:3]
             cfgv = self.engine.cfg.vision
-            grid = (max(t // cfgv.temporal_patch_size, 1),
+            # ceil to match device_patchify's temporal padding (odd T).
+            grid = (max(-(-t // cfgv.temporal_patch_size), 1),
                     h // cfgv.patch_size, w // cfgv.patch_size)
             staged = device_patchify(jnp.asarray(frames), n_pad=0)
             s.pending = ((staged, grid), t0, t1)
@@ -208,6 +209,69 @@ class StreamServer:
         cos, sin, seg = aux
         return VI(patches=None, cos=cos, sin=sin, seg_ids=seg, group=grid[1] * grid[2])
 
+    # -- warmup --------------------------------------------------------------
+
+    def warmup(
+        self,
+        resolutions: list[tuple[int, int]],
+        *,
+        query: str = "Please describe the video.",
+        init_frames: int = 6,
+        steady_frames: int = 2,
+    ) -> None:
+        """Pre-compile every program a serving session at these resolution
+        classes will hit, so no stream ever eats a mid-serve XLA compile
+        (round-1 bench saw 60 s p99 spikes from exactly that).
+
+        Runs (a) the solo init-chunk path and (b) the batched pool step per
+        resolution, on throwaway state — the real pool/caches are untouched.
+        Token bucketing makes the text side robust to prompt wording: any
+        query landing in the same bucket reuses the compiled program.
+        """
+        engine = self.engine
+        cfgv = engine.cfg.vision
+        self._ensure_pool()
+        if self._step is None:
+            self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash)
+        c = self.capacity
+        for (h, w) in resolutions:
+            # (a) solo init path (3D M-RoPE prefill + decode at the init bucket)
+            st = engine.new_stream()
+            frames = np.zeros((init_frames, h, w, 3), np.uint8)
+            engine.chunk_step(st, frames, 0.0, init_frames / engine.fps, query, self.gen)
+            del st
+            # (b) steady pool step for this grid class
+            grid = (max(-(-steady_frames // cfgv.temporal_patch_size), 1),
+                    h // cfgv.patch_size, w // cfgv.patch_size)
+            staged = device_patchify(
+                jnp.zeros((steady_frames, h, w, 3), jnp.uint8), n_pad=0
+            )
+            vis0 = self._vision_aux(grid, 0)
+            content = [{"type": "text", "text": "Time=3.0-4.0s"},
+                       {"type": "video", "video": None}]
+            text = chat.render_chat([{"role": "user", "content": content}],
+                                    add_generation_prompt=True)
+            text = chat.strip_system_for_continuation(text, engine.sys_offset)
+            text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])
+            n_ids = len(engine.tokenizer.encode(text))
+            bucket = _bucket(n_ids)
+            scratch_cache = KVCache.zeros(engine.cfg.text, c, engine.cache_len,
+                                          engine.cache_dtype)
+            scratch_counts = jnp.zeros((c, engine.cfg.text.vocab_size), jnp.int32)
+            scratch_last = jnp.full((c,), -1, jnp.int32)
+            patches = jnp.broadcast_to(staged, (c,) + staged.shape)
+            ids = np.zeros((c, bucket), np.int32)
+            valid = np.full((c,), n_ids, np.int32)
+            active = np.ones((c,), bool)
+            engine._rng, sub = jax.random.split(engine._rng)
+            out = self._step(
+                engine.params, jnp.asarray(ids), jnp.asarray(valid),
+                scratch_cache, patches, vis0.cos, vis0.sin, vis0.seg_ids,
+                scratch_counts, scratch_last, jnp.zeros((c,), jnp.int32),
+                jnp.asarray(active), sub, group=vis0.group,
+            )
+            np.asarray(out[0])   # force completion (relay-safe, CLAUDE.md)
+
     # -- pool management ----------------------------------------------------
 
     def _ensure_pool(self) -> None:
@@ -249,22 +313,20 @@ class StreamServer:
         """Fetch in-flight generated tokens (runs on the collector thread as
         soon as the device finishes; callable from the main thread too)."""
         with self._lock:
-            inflight, self._inflight = self._inflight, None
-        if inflight is None:
-            return
-        tokens_dev, n_gen_dev, slot_map, dispatched = inflight
-        tokens = np.asarray(tokens_dev)      # blocks until device completion
-        n_gen = np.asarray(n_gen_dev)
-        done = time.perf_counter()
-        with self._lock:
-            for slot, (sid, span, n_new) in slot_map.items():
-                s = self._streams.get(sid)
-                if s is None:
-                    continue
-                generated = tokens[slot, : int(n_gen[slot])].tolist()
-                text = self.engine.tokenizer.decode(generated, skip_special_tokens=True)
-                s.outputs.append((span, text))
-                self.engine.metrics.record("chunk_e2e_latency", done - dispatched)
+            inflight, self._inflight = self._inflight, []
+        for tokens_dev, n_gen_dev, slot_map, dispatched in inflight:
+            tokens = np.asarray(tokens_dev)      # blocks until device completion
+            n_gen = np.asarray(n_gen_dev)
+            done = time.perf_counter()
+            with self._lock:
+                for slot, (sid, span, n_new) in slot_map.items():
+                    s = self._streams.get(sid)
+                    if s is None:
+                        continue
+                    generated = tokens[slot, : int(n_gen[slot])].tolist()
+                    text = self.engine.tokenizer.decode(generated, skip_special_tokens=True)
+                    s.outputs.append((span, text))
+                    self.engine.metrics.record("chunk_e2e_latency", done - dispatched)
 
     def _join_collector(self) -> None:
         c = self._collector
@@ -303,8 +365,10 @@ class StreamServer:
 
     def _run_pool(self, streams: list["Stream"]) -> None:
         engine = self.engine
-        c = self.capacity
-        # host prep: tokenize per stream, one frames stack
+        # host prep: tokenize per stream, group by resolution class — each
+        # grid class dispatches its own batched pool step over the shared
+        # slot pool (heterogeneous streams coexist; the reference serves any
+        # per-video resolution, demo/infer.py:89-94).
         preps = []
         for s in streams:
             (staged, grid), t0, t1 = s.pending
@@ -317,9 +381,21 @@ class StreamServer:
             text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])
             preps.append({"s": s, "ids": engine.tokenizer.encode(text), "grid": grid,
                           "staged": staged, "span": (t0, t1)})
-        grid = preps[0]["grid"]
-        if any(p["grid"] != grid for p in preps):
-            raise RuntimeError("streams in one pool must share a resolution class")
+        groups: dict[tuple, list[dict]] = {}
+        for p in preps:
+            groups.setdefault(p["grid"], []).append(p)
+        self._join_collector()
+        for grid, group_preps in groups.items():
+            self._dispatch(grid, group_preps)
+        # background collector surfaces results the moment the device
+        # finishes, while the main thread prepares the next tick
+        self._collector = threading.Thread(target=self._collect, daemon=True)
+        self._collector.start()
+
+    def _dispatch(self, grid: tuple, preps: list[dict]) -> None:
+        """One batched prefill+decode over the pool for one resolution class."""
+        engine = self.engine
+        c = self.capacity
         vis0 = self._vision_aux(grid, 0)
         bucket = _bucket(max(len(p["ids"]) for p in preps))
         for p in preps:   # conservative capacity check (host upper bound)
@@ -357,10 +433,5 @@ class StreamServer:
             self.pool_counts, self.pool_last, jnp.asarray(deltas),
             jnp.asarray(active), sub, group=vis0.group,
         )
-        # background collector surfaces results the moment the device
-        # finishes, while the main thread prepares the next tick
-        self._join_collector()
         with self._lock:
-            self._inflight = (tokens, n_gen, slot_map, time.perf_counter())
-        self._collector = threading.Thread(target=self._collect, daemon=True)
-        self._collector.start()
+            self._inflight.append((tokens, n_gen, slot_map, time.perf_counter()))

@@ -44,6 +44,13 @@ struct FrameEntry {
   bool keyframe;
 };
 
+// In-memory source for bytes-opened readers (the reference accepts
+// remote_loader-produced bytes, video_process_patch.py:39-44).
+struct MemBuf {
+  std::vector<uint8_t> data;
+  int64_t pos = 0;
+};
+
 struct Reader {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
@@ -57,6 +64,9 @@ struct Reader {
   AVPacket* pkt = nullptr;
   SwsContext* sws = nullptr;
   int sws_w = -1, sws_h = -1;
+  // bytes-backed source (owned)
+  MemBuf* mem = nullptr;
+  AVIOContext* avio = nullptr;
   std::string error;
 };
 
@@ -124,31 +134,55 @@ int seek_to(Reader* r, int64_t target_pts) {
   return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
-const char* vr_last_error() { return tl_error.c_str(); }
-
-int64_t vr_open(const char* path) {
-  Reader* r = new Reader();
-  if (avformat_open_input(&r->fmt, path, nullptr, nullptr) < 0) {
-    set_error(std::string("cannot open ") + path);
-    delete r;
-    return 0;
+void free_reader(Reader* r) {
+  if (r->sws) sws_freeContext(r->sws);
+  if (r->frame) av_frame_free(&r->frame);
+  if (r->pkt) av_packet_free(&r->pkt);
+  if (r->codec) avcodec_free_context(&r->codec);
+  if (r->fmt) avformat_close_input(&r->fmt);
+  if (r->avio) {
+    av_freep(&r->avio->buffer);
+    avio_context_free(&r->avio);
   }
+  delete r->mem;
+  delete r;
+}
+
+int mem_read(void* opaque, uint8_t* buf, int buf_size) {
+  MemBuf* m = static_cast<MemBuf*>(opaque);
+  int64_t remain = (int64_t)m->data.size() - m->pos;
+  if (remain <= 0) return AVERROR_EOF;
+  int nn = (int)std::min<int64_t>(buf_size, remain);
+  std::memcpy(buf, m->data.data() + m->pos, nn);
+  m->pos += nn;
+  return nn;
+}
+
+int64_t mem_seek(void* opaque, int64_t offset, int whence) {
+  MemBuf* m = static_cast<MemBuf*>(opaque);
+  if (whence == AVSEEK_SIZE) return (int64_t)m->data.size();
+  whence &= ~AVSEEK_FORCE;
+  int64_t base = whence == SEEK_SET ? 0
+               : whence == SEEK_CUR ? m->pos
+                                    : (int64_t)m->data.size();
+  int64_t np = base + offset;
+  if (np < 0 || np > (int64_t)m->data.size()) return -1;
+  m->pos = np;
+  return np;
+}
+
+// Shared tail of vr_open / vr_open_bytes: r->fmt is an opened input.
+int64_t finish_open(Reader* r) {
   if (avformat_find_stream_info(r->fmt, nullptr) < 0) {
     set_error("no stream info");
-    avformat_close_input(&r->fmt);
-    delete r;
+    free_reader(r);
     return 0;
   }
   r->stream_index =
       av_find_best_stream(r->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
   if (r->stream_index < 0) {
     set_error("no video stream");
-    avformat_close_input(&r->fmt);
-    delete r;
+    free_reader(r);
     return 0;
   }
   AVStream* st = r->fmt->streams[r->stream_index];
@@ -170,16 +204,14 @@ int64_t vr_open(const char* path) {
             [](const FrameEntry& a, const FrameEntry& b) { return a.pts < b.pts; });
   if (r->index.empty()) {
     set_error("no frames");
-    avformat_close_input(&r->fmt);
-    delete r;
+    free_reader(r);
     return 0;
   }
   av_seek_frame(r->fmt, r->stream_index, r->index.front().pts, AVSEEK_FLAG_BACKWARD);
 
   if (open_codec(r) < 0) {
     set_error("cannot open codec");
-    avformat_close_input(&r->fmt);
-    delete r;
+    free_reader(r);
     return 0;
   }
   r->frame = av_frame_alloc();
@@ -189,6 +221,41 @@ int64_t vr_open(const char* path) {
   int64_t h = g_next_handle++;
   g_readers[h] = r;
   return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* vr_last_error() { return tl_error.c_str(); }
+
+int64_t vr_open(const char* path) {
+  Reader* r = new Reader();
+  if (avformat_open_input(&r->fmt, path, nullptr, nullptr) < 0) {
+    set_error(std::string("cannot open ") + path);
+    delete r;
+    return 0;
+  }
+  return finish_open(r);
+}
+
+// Open from an in-memory container (remote-loader bytes,
+// video_process_patch.py:39-44 semantics). The buffer is copied; the caller
+// may free it immediately.
+int64_t vr_open_bytes(const uint8_t* data, int64_t size) {
+  Reader* r = new Reader();
+  r->mem = new MemBuf{std::vector<uint8_t>(data, data + size), 0};
+  constexpr int kBufSize = 1 << 16;
+  unsigned char* buf = static_cast<unsigned char*>(av_malloc(kBufSize));
+  r->avio = avio_alloc_context(buf, kBufSize, 0, r->mem, mem_read, nullptr, mem_seek);
+  r->fmt = avformat_alloc_context();
+  r->fmt->pb = r->avio;
+  if (avformat_open_input(&r->fmt, nullptr, nullptr, nullptr) < 0) {
+    set_error("cannot open bytes");
+    free_reader(r);   // fmt already freed by avformat_open_input; avio/mem remain
+    return 0;
+  }
+  return finish_open(r);
 }
 
 int64_t vr_num_frames(int64_t handle) {
@@ -294,12 +361,7 @@ void vr_close(int64_t handle) {
     r = it->second;
     g_readers.erase(it);
   }
-  if (r->sws) sws_freeContext(r->sws);
-  if (r->frame) av_frame_free(&r->frame);
-  if (r->pkt) av_packet_free(&r->pkt);
-  if (r->codec) avcodec_free_context(&r->codec);
-  if (r->fmt) avformat_close_input(&r->fmt);
-  delete r;
+  free_reader(r);
 }
 
 // --- test-asset encoder (mpeg4, no external binaries needed) ---------------

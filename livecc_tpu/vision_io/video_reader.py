@@ -29,11 +29,15 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        # Always invoke make: the Makefile's video_decoder.cpp dependency
+        # makes this a no-op when the .so is up to date, and guarantees a
+        # source edit is never shadowed by a stale binary.
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.vr_open.argtypes = [ctypes.c_char_p]
         lib.vr_open.restype = ctypes.c_int64
+        lib.vr_open_bytes.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.vr_open_bytes.restype = ctypes.c_int64
         lib.vr_num_frames.argtypes = [ctypes.c_int64]
         lib.vr_num_frames.restype = ctypes.c_int64
         lib.vr_avg_fps.argtypes = [ctypes.c_int64]
@@ -67,11 +71,22 @@ def is_available() -> bool:
 
 
 class VideoReader:
-    """PTS-indexed random-access reader over one video file."""
+    """PTS-indexed random-access reader over one video.
 
-    def __init__(self, path: str):
+    ``source`` is a filesystem path, raw container ``bytes`` (e.g. from a
+    remote loader — reference video_process_patch.py:39-44), or a callable
+    returning bytes (the reference's ``remote_loader`` hook shape).
+    """
+
+    def __init__(self, source):
         self._lib = _load()
-        self._h = self._lib.vr_open(path.encode())
+        if callable(source):
+            source = source()
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            buf = (ctypes.c_uint8 * len(source)).from_buffer_copy(source)
+            self._h = self._lib.vr_open_bytes(buf, len(source))
+        else:
+            self._h = self._lib.vr_open(source.encode())
         if self._h == 0:
             raise IOError(f"cannot open video: {self._lib.vr_last_error().decode()}")
         self._n = int(self._lib.vr_num_frames(self._h))

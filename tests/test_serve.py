@@ -92,6 +92,58 @@ def test_capacity_enforced():
         server.add_stream((28, 28))
 
 
+def frames_hw(seed, h, w, n=2):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 255, size=(n, h, w, 3), dtype=np.uint8)
+
+
+def test_mixed_resolution_pool():
+    """Streams of different resolution classes share one server: each grid
+    class dispatches its own batched step over the common slot pool, and
+    per-stream outputs match the single-stream engine exactly."""
+    engine_a = build_engine()
+    gen = gen_for(engine_a)
+    st = engine_a.new_stream()
+    ref = [engine_a.chunk_step(st, frames_hw(0, 28, 28, 6), 0.0, 3.0, "q", gen),
+           engine_a.chunk_step(st, frames_hw(1, 28, 28), 3.0, 4.0, None, gen)]
+    st2 = engine_a.new_stream()
+    ref2 = [engine_a.chunk_step(st2, frames_hw(5, 28, 56, 6), 0.0, 3.0, "w", gen),
+            engine_a.chunk_step(st2, frames_hw(6, 28, 56), 3.0, 4.0, None, gen)]
+
+    engine_b = build_engine()
+    server = StreamServer(engine_b, gen_for(engine_b))
+    s0 = server.add_stream((28, 28), query="q")
+    s1 = server.add_stream((28, 56), query="w")    # different grid class
+    server.submit_chunk(s0, frames_hw(0, 28, 28, 6), 0.0, 3.0)
+    server.submit_chunk(s1, frames_hw(5, 28, 56, 6), 0.0, 3.0)
+    assert server.tick() == 2
+    server.submit_chunk(s0, frames_hw(1, 28, 28), 3.0, 4.0)
+    server.submit_chunk(s1, frames_hw(6, 28, 56), 3.0, 4.0)
+    assert server.tick() == 2
+    server.flush()
+    assert [t for _, t in server.drain(s0)] == ref
+    assert [t for _, t in server.drain(s1)] == ref2
+
+
+def test_warmup_compiles_without_state_change():
+    engine = build_engine()
+    server = StreamServer(engine, gen_for(engine))
+    server.warmup([(28, 28), (28, 56)])
+    # real serving after warmup produces the same outputs as a cold server
+    engine2 = build_engine()
+    cold = StreamServer(engine2, gen_for(engine2))
+    for srv in (server, cold):
+        sid = srv.add_stream((28, 28), query="q")
+        srv.submit_chunk(sid, frames(0, 6), 0.0, 3.0)
+        srv.tick()
+        srv.submit_chunk(sid, frames(1), 3.0, 4.0)
+        srv.tick()
+        srv.flush()
+    warm_out = [t for _, t in server.drain(0)]
+    cold_out = [t for _, t in cold.drain(0)]
+    assert warm_out == cold_out and len(warm_out) == 2
+
+
 def test_remove_stream_with_inflight_results():
     """Removing a stream whose results are still in flight must not corrupt
     other streams or crash collection."""

@@ -42,6 +42,14 @@ def test_offline_streaming_commentary(engine):
     assert isinstance(txt1, str) and isinstance(txt2, str)
 
 
+def test_odd_frame_count_chunk(engine):
+    # 5-frame init chunk from a short clip: device_patchify pads T 5 -> 6, so
+    # grid_t must be ceil(5/2)=3, not floor (shape-mismatch crash otherwise).
+    out = engine.live_cc_once_for_evaluation("describe", synth_frames(5), max_new_tokens=4)
+    assert len(out) == 1
+    assert isinstance(out[0][2], str)
+
+
 def test_streaming_state_progression(engine):
     gen = GenerationParams(max_new_tokens=4, eos_token_id=engine.cfg.eos_token_id,
                            pad_token_id=engine.cfg.pad_token_id)

@@ -65,6 +65,29 @@ def test_streaming_cursor_reads(clip):
         assert abs(gray_to_index(out[0]) - start) <= 1
 
 
+def test_open_from_bytes(clip):
+    """Bytes / remote-loader sources decode identically to path opens
+    (reference video_process_patch.py:39-44 remote_loader semantics)."""
+    path, frames = clip
+    with open(path, "rb") as f:
+        blob = f.read()
+    r_path = vr.VideoReader(path)
+    r_bytes = vr.VideoReader(blob)
+    assert len(r_bytes) == len(r_path)
+    np.testing.assert_allclose(r_bytes.pts_seconds, r_path.pts_seconds)
+    idx = [0, 7, 55, 99]
+    np.testing.assert_array_equal(r_bytes.get_batch(idx), r_path.get_batch(idx))
+    # callable loader (the reference's remote_loader hook shape)
+    r_loader = vr.VideoReader(lambda: blob)
+    assert len(r_loader) == len(r_path)
+    assert gray_to_index(r_loader.get_batch([42])[0]) == 42
+
+
+def test_open_bad_bytes():
+    with pytest.raises(IOError):
+        vr.VideoReader(b"not a video at all" * 10)
+
+
 def test_bad_file(tmp_path):
     p = tmp_path / "junk.mp4"
     p.write_bytes(b"not a video")
