@@ -14,6 +14,52 @@ def test_entry_compiles():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dryrun_multichip():
+    import os
+
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8)
+    # the 7B-width TP section takes ~8 min on this 1-vCPU host; exercised by
+    # the driver's real invocation and (manually) via `python __graft_entry__.py`
+    os.environ["LIVECC_DRYRUN_7B"] = "0"
+    try:
+        g.dryrun_multichip(8)
+    finally:
+        os.environ.pop("LIVECC_DRYRUN_7B", None)
+
+
+def test_dryrun_multichip_bootstraps_from_one_device():
+    """Reproduce the DRIVER's invocation: import __graft_entry__ in an env
+    whose jax backend has a single device, then call dryrun_multichip.
+
+    Round 1 failed exactly here (MULTICHIP_r01.json: `mesh 4x2 != 1 devices`)
+    because the conftest-forced 8-device suite never exercised this path; the
+    function must respawn itself with a virtual n-device CPU backend.
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Simulate the ambient single-device env (the real one is a 1-chip TPU).
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        [f for f in env.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+        + ["--xla_force_host_platform_device_count=1"]
+    )
+    env["PYTHONPATH"] = os.pathsep.join(p for p in [repo, env.get("PYTHONPATH", "")] if p)
+    env["LIVECC_DRYRUN_7B"] = "0"   # keep the guard fast; mechanics identical
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "ok" in proc.stdout

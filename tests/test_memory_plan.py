@@ -1,0 +1,78 @@
+"""7B-on-v5e-8 memory budget: the serving plan is checked arithmetic.
+
+SURVEY.md §7 hard part 5 — the reference runs the 7B on 80 GB GPUs
+(demo/infer.py:43-47); on 16 GiB v5e chips the plan must be proven, not
+assumed.
+"""
+
+import pytest
+
+from livecc_tpu.core.config import ModelConfig, tiny_config
+from livecc_tpu.parallel.memory import (
+    GIB, count_params, kv_bytes_per_chip, serving_plan, weights_bytes_per_chip,
+)
+
+
+def test_7b_param_count():
+    # Qwen2-VL-7B: ~8.29B params total (7.6B LLM + 0.68B ViT), ~16.6 GB bf16.
+    n = count_params(ModelConfig.qwen2_vl_7b())
+    assert 8.0e9 < n < 8.6e9
+    total_bytes = n * 2
+    # 15.4 GiB of bare weights on a 16 GiB chip: no room for KV + activations
+    # (test_7b_single_chip_does_not_fit asserts the full budget).
+    assert total_bytes > 15 * GIB
+
+
+def test_7b_embed_bytes_hand_check():
+    # Independent hand arithmetic for one leaf: embed = vocab x hidden.
+    cfg = ModelConfig.qwen2_vl_7b()
+    embed = cfg.text.vocab_size * cfg.text.hidden_size * 2
+    assert embed == 152064 * 3584 * 2
+    # TP shards embed along vocab: full weights/chip must drop by ~the
+    # sharded fraction when TP goes 1 -> 4.
+    w1 = weights_bytes_per_chip(cfg, n_model=1)
+    w4 = weights_bytes_per_chip(cfg, n_model=4)
+    assert w4 < w1 / 3  # most bytes are in sharded matmuls
+
+
+def test_7b_single_chip_does_not_fit():
+    plan = serving_plan(ModelConfig.qwen2_vl_7b(), n_model=1, streams=1, cache_len=32768)
+    assert not plan.fits, plan.describe()
+
+
+def test_7b_tp4_serves_8_streams():
+    # The north-star config: 7B, TP=4 on v5e (28 q heads / 4, 4 KV heads / 4),
+    # 8 concurrent streams at full 32k cache, bf16 KV.
+    plan = serving_plan(ModelConfig.qwen2_vl_7b(), n_model=4, streams=8, cache_len=32768)
+    assert plan.fits, plan.describe()
+    # and with int8 KV the same slice holds >= 24 streams
+    plan24 = serving_plan(ModelConfig.qwen2_vl_7b(), n_model=4, streams=24,
+                          cache_len=32768, kv_dtype_bytes=1)
+    assert plan24.fits, plan24.describe()
+
+
+def test_tp_must_divide_heads():
+    with pytest.raises(ValueError):
+        serving_plan(ModelConfig.qwen2_vl_7b(), n_model=8, streams=1)  # 28 % 8 != 0
+
+
+def test_2b_single_chip_fits():
+    # bench.py's single-chip 2B serving config must fit by the same math.
+    plan = serving_plan(ModelConfig.qwen2_vl_2b(), n_model=1, streams=8, cache_len=8192)
+    assert plan.fits, plan.describe()
+
+
+def test_kv_bytes_shard_with_tp():
+    cfg = ModelConfig.qwen2_vl_7b()
+    full = kv_bytes_per_chip(cfg, 1, 32768)
+    # 28 layers x 2 x 4 heads x 32768 x 128 x 2B
+    assert full == 28 * 2 * 4 * 32768 * 128 * 2
+    assert kv_bytes_per_chip(cfg, 4, 32768) == full // 4
+    # beyond Hk=4 the cache stops shrinking (replication floor)
+    assert kv_bytes_per_chip(cfg, 28, 32768) == full // 4
+
+
+def test_tiny_plan_smoke():
+    plan = serving_plan(tiny_config(), n_model=2, streams=4, cache_len=256)
+    assert plan.fits and plan.param_count > 0
+    assert "fits" in plan.describe()
