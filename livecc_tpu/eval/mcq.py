@@ -120,6 +120,16 @@ class MCQPredictor:
         self.video_loader = video_loader
 
     def _read_video(self, item: MCQItem):
+        """Frame read with degenerate-video handling.
+
+        Mirrors the reference's OVOBench reader
+        (evaluation/ovobench/distributed_evaluate_ovobench.py:12-59,
+        ``_read_may1fps_video_decord``): the [video_start, video_end] window
+        is clamped into the PTS range with end >= start+1 s (:38-42), and for
+        <2-frame clips or sub-FPS videos the frame count fed to smart_nframes
+        is inflated (:49-56) so sampling never collapses to zero — indices
+        then repeat over the real frames.
+        """
         import os
         if os.path.isdir(item.video):
             return self._read_frame_dir(item.video)
@@ -129,10 +139,24 @@ class MCQPredictor:
         if item.video_start is not None or item.video_end is not None:
             lo = pts[0] if not item.video_start else item.video_start
             hi = pts[-1] if not item.video_end else item.video_end
+            lo = min(max(pts[0], lo), pts[-1])
+            hi = min(max(pts[0], hi), pts[-1])
+            hi = max(lo + 1.0, hi)
             base = np.where((pts >= lo) & (pts <= hi))[0]
-        n = smart_nframes(len(base), reader.avg_fps,
+            if len(base) == 0:
+                # window falls between sparse PTS samples: nearest frame
+                base = np.array([int(np.argmin(np.abs(pts - lo)))])
+        total = len(base)
+        fps_v = reader.avg_fps
+        total_for, fps_for = total, fps_v
+        if total < 2:
+            total_for = 2
+        if 0 < fps_v < self.budget.fps:
+            total_for = int(total * self.budget.fps / fps_v)
+            fps_for = self.budget.fps
+        n = smart_nframes(total_for, fps_for,
                           max_frames=self.max_frames, budget=self.budget)
-        idxs = base[linspace_sample(len(base), n)]
+        idxs = base[linspace_sample(total, n)]
         h, w = reader.frame_size
         rh, rw = self.budget.spatial_target(h, w, nframes=n)
         return reader.get_batch(idxs, out_hw=(rh, rw))

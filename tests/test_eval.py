@@ -55,7 +55,8 @@ def test_videomme_roundtrip(setup):
     rows = [
         {"video": vids[i % 2], "question": f"q{i}", "options": ["A. a", "B. b", "C. c", "D. d"],
          "answer": "A", "duration": ["short", "medium", "long"][i % 3],
-         "domain": "Sports", "sub_category": "x", "task_type": "Perception",
+         "domain": "Sports Competition", "sub_category": "Basketball",
+         "task_type": "Action Recognition",
          "video_id": f"vid{i}", "question_id": str(i)}
         for i in range(4)
     ]
@@ -69,6 +70,12 @@ def test_videomme_roundtrip(setup):
     report = videomme.run(predictor, bench, out, worker=1, num_workers=2)
     assert report is not None and "overall" in report and report["n"] == 4
     assert set(report["duration"]) <= {"short", "medium", "long"}
+    # official artifacts written alongside
+    txt = open(os.path.join(out, "results_no_subtitles.txt")).read()
+    assert "Evaluation on the entire dataset" in txt
+    assert txt.splitlines()[-1].startswith("Overall: ")
+    grouped = json.load(open(os.path.join(out, "results_no_subtitles.json")))
+    assert {g["video_id"] for g in grouped} == {f"vid{i}" for i in range(4)}
 
 
 def test_videomme_letter_extraction():
@@ -115,6 +122,32 @@ def test_ovobench_flatten_and_score():
     assert report["task"]["REC"] == 50.0
     assert report["realtime"] == 100.0
     assert report["forward"] == 50.0
+
+
+def test_degenerate_videos_survive(setup, tmp_path):
+    """OVOBench corpora contain <2-frame and sub-FPS clips; the reader must
+    inflate frame counts instead of raising (reference
+    evaluation/ovobench/distributed_evaluate_ovobench.py:49-56)."""
+    predictor, _, _ = setup
+    rng = np.random.RandomState(7)
+    one = str(tmp_path / "one_frame.mp4")
+    vr.encode_test_video(one, rng.randint(0, 255, (1, 56, 56, 3), dtype=np.uint8), fps=10)
+    subfps = str(tmp_path / "subfps.mp4")  # 1 fps < budget fps 2
+    vr.encode_test_video(subfps, rng.randint(0, 255, (6, 56, 56, 3), dtype=np.uint8), fps=1)
+    opts = ["A. x", "B. y", "C. z", "D. w"]
+    items = [
+        MCQItem(video=one, question="q", options=opts),
+        MCQItem(video=subfps, question="q", options=opts),
+        # window clamp: start beyond last PTS, end < start (reference :38-42)
+        MCQItem(video=subfps, question="q", options=opts, video_start=99.0, video_end=1.0),
+        # sub-FPS with a real window
+        MCQItem(video=subfps, question="q", options=opts, video_start=0.0, video_end=3.0),
+    ]
+    for item in items:
+        frames = predictor._read_video(item)
+        assert frames.ndim == 4 and frames.shape[0] >= 2
+    preds = predictor.predict(items)
+    assert len(preds) == 4 and all(p in "ABCD" for p in preds)
 
 
 def test_livesports_cc_generation_and_judge(setup, tmp_path):
