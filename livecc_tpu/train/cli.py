@@ -33,6 +33,10 @@ def main(argv=None):
     parser.add_argument("--with_context", action="store_true")
     parser.add_argument("--overwrite_output_dir", action="store_true",
                         help="start fresh instead of resuming (train.py:29)")
+    parser.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                        help="device mesh, e.g. 4x2 (data-parallel 4, tensor-"
+                             "parallel 2); replaces the reference's torchrun "
+                             "--nproc_per_node + deepspeed_zero2.json")
     args = parser.parse_args(argv)
 
     import jax
@@ -73,7 +77,12 @@ def main(argv=None):
         log_steps=args.log_steps,
         resume=not args.overwrite_output_dir,
     )
-    trainer = Trainer(params, cfg, tcfg, run, dataset)
+    mesh = None
+    if args.mesh:
+        from livecc_tpu.core.mesh import make_mesh
+        n_data, n_model = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+    trainer = Trainer(params, cfg, tcfg, run, dataset, mesh=mesh)
     last = trainer.train()
     print(last)
     return last

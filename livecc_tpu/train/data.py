@@ -30,29 +30,53 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     raise ValueError(f"{n} exceeds largest bucket {buckets[-1]}")
 
 
-def collate(samples: list[dict[str, Any]], cfg: ModelConfig) -> Batch:
-    """Stack A processed samples (train step's accumulation window)."""
-    a = len(samples)
+def collate(samples: list[dict[str, Any]], cfg: ModelConfig, rows: int = 1) -> Batch:
+    """Stack processed samples into one accumulation-window Batch.
+
+    ``rows`` > 1 packs consecutive samples into the batch (B) dimension for
+    data parallelism: micro-step ``a`` holds ``samples[a*rows:(a+1)*rows]``,
+    one per data-axis rank (the reference's per-GPU batch 1,
+    scripts/pt_local.sh:17). Each micro-step's video patches are concatenated
+    in row order — `scatter_video_embeds` places them by global token order,
+    so the layout matches the row-major flattened input ids.
+    """
+    assert len(samples) % rows == 0, (len(samples), rows)
+    a = len(samples) // rows
+    window = [samples[i * rows:(i + 1) * rows] for i in range(a)]
     s_max = _bucket(max(x["input_ids"].shape[1] for x in samples), SEQ_BUCKETS)
     n_max = _bucket(
-        max((x["pixel_patches"].shape[0] if x["pixel_patches"] is not None else 1) for x in samples),
+        max(sum(x["pixel_patches"].shape[0] if x["pixel_patches"] is not None else 1
+                for x in row_samples)
+            for row_samples in window),
         PATCH_BUCKETS,
     )
+    # Uniform spatial grid across the window -> blocked O(N) ViT attention
+    # (one shape per (bucket, group)); mixed resolutions fall back to the
+    # seg-mask path.
+    hws = {(int(g[1]), int(g[2]))
+           for x in samples if x["pixel_patches"] is not None
+           for g in x["video_grid_thw"]}
+    vision_group = None
+    if len(hws) == 1:
+        (gh, gw), = hws
+        vision_group = gh * gw
+        n_max = -(-n_max // vision_group) * vision_group
     hd = cfg.vision.head_dim
     pd = cfg.vision.patch_dim
 
-    ids = np.zeros((a, 1, s_max), np.int32)
-    labels = np.full((a, 1, s_max), -100, np.int32)
-    pos = np.zeros((a, 3, 1, s_max), np.int32)
-    mask = np.zeros((a, 1, s_max), bool)
+    ids = np.zeros((a, rows, s_max), np.int32)
+    labels = np.full((a, rows, s_max), -100, np.int32)
+    pos = np.zeros((a, 3, rows, s_max), np.int32)
+    mask = np.zeros((a, rows, s_max), bool)
     patches = np.zeros((a, n_max, pd), np.float32)
     cos = np.ones((a, n_max, hd), np.float32)
     sin = np.zeros((a, n_max, hd), np.float32)
     seg = np.full((a, n_max), -1, np.int32)
     has_images = any(x.get("image_patches") is not None for x in samples)
     ni_max = _bucket(
-        max((x["image_patches"].shape[0] if x.get("image_patches") is not None else 1)
-            for x in samples),
+        max(sum(x["image_patches"].shape[0] if x.get("image_patches") is not None else 1
+                for x in row_samples)
+            for row_samples in window),
         PATCH_BUCKETS,
     ) if has_images else 0
     ipatches = np.zeros((a, ni_max, pd), np.float32)
@@ -60,33 +84,36 @@ def collate(samples: list[dict[str, Any]], cfg: ModelConfig) -> Batch:
     isin = np.zeros((a, ni_max, hd), np.float32)
     iseg = np.full((a, ni_max), -1, np.int32)
 
-    for i, x in enumerate(samples):
-        n = x["input_ids"].shape[1]
-        ids[i, 0, :n] = x["input_ids"][0]
-        labels[i, 0, :n] = x["labels"][0]
-        pos[i, :, 0, :n] = x["position_ids"][:, 0]
-        pos[i, :, 0, n:] = pos[i, :, 0, n - 1: n] + np.arange(1, s_max - n + 1)
-        mask[i, 0, :n] = True
-        if has_images and x.get("image_patches") is not None:
-            p = x["image_patches"]
-            ipatches[i, : p.shape[0]] = p
-            igrids = [tuple(g) for g in x["image_grid_thw"]]
-            c, sn = vision_rotary_cos_sin(igrids, hd, spatial_merge_size=cfg.vision.spatial_merge_size)
-            icos[i, : c.shape[0]] = c
-            isin[i, : sn.shape[0]] = sn
-            iseg[i, : p.shape[0]] = np.concatenate(
-                [np.repeat(np.arange(t) + 10**6 * j, h * w) for j, (t, h, w) in enumerate(igrids)]
-            )
-        if x["pixel_patches"] is not None:
-            p = x["pixel_patches"]
-            patches[i, : p.shape[0]] = p
-            grids = [tuple(g) for g in x["video_grid_thw"]]
-            c, sn = vision_rotary_cos_sin(grids, hd, spatial_merge_size=cfg.vision.spatial_merge_size)
-            cos[i, : c.shape[0]] = c
-            sin[i, : sn.shape[0]] = sn
-            seg[i, : p.shape[0]] = np.concatenate(
-                [np.repeat(np.arange(t) + 10**6 * j, h * w) for j, (t, h, w) in enumerate(grids)]
-            )
+    def _append_clips(dst_p, dst_c, dst_s, dst_seg, i, off, clip_idx, p, grids):
+        c, sn = vision_rotary_cos_sin(grids, hd, spatial_merge_size=cfg.vision.spatial_merge_size)
+        dst_p[i, off: off + p.shape[0]] = p
+        dst_c[i, off: off + c.shape[0]] = c
+        dst_s[i, off: off + sn.shape[0]] = sn
+        dst_seg[i, off: off + p.shape[0]] = np.concatenate(
+            [np.repeat(np.arange(t) + 10**6 * (clip_idx + j), h * w)
+             for j, (t, h, w) in enumerate(grids)]
+        )
+        return off + p.shape[0], clip_idx + len(grids)
+
+    for i, row_samples in enumerate(window):
+        v_off = i_off = v_clip = i_clip = 0
+        for b, x in enumerate(row_samples):
+            n = x["input_ids"].shape[1]
+            ids[i, b, :n] = x["input_ids"][0]
+            labels[i, b, :n] = x["labels"][0]
+            pos[i, :, b, :n] = x["position_ids"][:, 0]
+            pos[i, :, b, n:] = pos[i, :, b, n - 1: n] + np.arange(1, s_max - n + 1)
+            mask[i, b, :n] = True
+            if has_images and x.get("image_patches") is not None:
+                i_off, i_clip = _append_clips(
+                    ipatches, icos, isin, iseg, i, i_off, i_clip,
+                    x["image_patches"], [tuple(g) for g in x["image_grid_thw"]],
+                )
+            if x["pixel_patches"] is not None:
+                v_off, v_clip = _append_clips(
+                    patches, cos, sin, seg, i, v_off, v_clip,
+                    x["pixel_patches"], [tuple(g) for g in x["video_grid_thw"]],
+                )
 
     return Batch(
         input_ids=jnp.asarray(ids),
@@ -101,4 +128,5 @@ def collate(samples: list[dict[str, Any]], cfg: ModelConfig) -> Batch:
         image_cos=jnp.asarray(icos) if has_images else None,
         image_sin=jnp.asarray(isin) if has_images else None,
         image_seg_ids=jnp.asarray(iseg) if has_images else None,
+        vision_group=vision_group,
     )

@@ -44,6 +44,8 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     freeze_modules: tuple[str, ...] = ("visual",)
     ce_chunk_size: int = 1024
+    # per-layer rematerialization (the reference's --gradient_checkpointing)
+    remat: bool = True
 
 
 def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -101,6 +103,11 @@ class Batch:
     image_cos: Optional[jnp.ndarray] = None
     image_sin: Optional[jnp.ndarray] = None
     image_seg_ids: Optional[jnp.ndarray] = None
+    # Static per-temporal-group patch count (grid h*w) when uniform across
+    # the window: enables the ViT's blocked O(N) attention — without it a
+    # 21k-patch training video builds an O(N^2) mask (~30 GB at fp32).
+    vision_group: Optional[int] = dataclasses.field(default=None, metadata=dict(static=True))
+    image_group: Optional[int] = dataclasses.field(default=None, metadata=dict(static=True))
 
 
 def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -112,14 +119,17 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro) -> tuple
     ids, labels, pos, mask = micro.input_ids, micro.labels, micro.position_ids, micro.attention_mask
     vision = None
     if micro.vision_patches is not None:
-        vision = VisionInputs(micro.vision_patches, micro.vision_cos, micro.vision_sin, micro.vision_seg_ids)
+        vision = VisionInputs(micro.vision_patches, micro.vision_cos, micro.vision_sin,
+                              micro.vision_seg_ids, group=micro.vision_group)
     vision_images = None
     if micro.image_patches is not None:
         vision_images = VisionInputs(micro.image_patches, micro.image_cos,
-                                     micro.image_sin, micro.image_seg_ids)
+                                     micro.image_sin, micro.image_seg_ids,
+                                     group=micro.image_group)
     hidden, _ = forward(params, cfg, ids, pos, vision=vision,
                         vision_images=vision_images,
-                        attention_mask=mask, compute_logits=False)
+                        attention_mask=mask, compute_logits=False,
+                        remat=tcfg.remat)
     if cfg.text.tie_word_embeddings:
         kernel = params["text"]["embed"]["weight"].T
     else:

@@ -23,11 +23,13 @@ import time
 from typing import Any
 
 import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from livecc_tpu.core.config import ModelConfig
+from livecc_tpu.core.mesh import DATA_AXIS
 from livecc_tpu.data.lmm_dataset import LMMDataset
 from livecc_tpu.train.data import collate
-from livecc_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+from livecc_tpu.train.step import Batch, TrainConfig, make_optimizer, make_train_step
 
 Params = dict[str, Any]
 
@@ -44,6 +46,15 @@ class TrainerConfig:
 
 
 class Trainer:
+    """Distributed-by-default training loop.
+
+    With ``mesh``: params TP-shard along the model axis, optimizer state
+    ZeRO-2-shards along the data axis, and each micro-step carries
+    ``n_data`` samples in the batch dimension (the reference's 8-rank
+    torchrun + DeepSpeed layout, scripts/pt_local.sh:8). Without it,
+    single-device with batch rows = 1.
+    """
+
     def __init__(
         self,
         params: Params,
@@ -51,21 +62,73 @@ class Trainer:
         tcfg: TrainConfig,
         run: TrainerConfig,
         dataset: LMMDataset,
+        mesh: Mesh | None = None,
     ):
         self.cfg = cfg
         self.tcfg = tcfg
         self.run = run
         self.dataset = dataset
+        self.mesh = mesh
         self.optimizer = make_optimizer(tcfg, params)
-        self.params = params
-        self.opt_state = self.optimizer.init(params)
-        self.step_fn = jax.jit(make_train_step(cfg, tcfg, self.optimizer))
+        if mesh is None:
+            self.batch_rows = 1
+            self.params = params
+            self.opt_state = self.optimizer.init(params)
+            self.step_fn = jax.jit(make_train_step(cfg, tcfg, self.optimizer))
+        else:
+            from livecc_tpu.parallel.sharding import param_pspecs, shard_params, zero2_pspecs
+
+            n_data = mesh.shape[DATA_AXIS]
+            self.batch_rows = n_data
+            self.params = shard_params(params, mesh)
+            opt_state = self.optimizer.init(self.params)
+            self._opt_specs = zero2_pspecs(opt_state, n_data=n_data)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                opt_state, self._opt_specs,
+            )
+            pshard = jax.tree_util.tree_map(
+                lambda sp: NamedSharding(mesh, sp), param_pspecs(self.params)
+            )
+            oshard = jax.tree_util.tree_map(
+                lambda sp: NamedSharding(mesh, sp), self._opt_specs
+            )
+            self.step_fn = jax.jit(
+                make_train_step(cfg, tcfg, self.optimizer),
+                out_shardings=(pshard, oshard, None),
+            )
         self.step = 0
         os.makedirs(run.output_dir, exist_ok=True)
         self._ckpt_dir = os.path.abspath(os.path.join(run.output_dir, "ckpt"))
         self._log_path = os.path.join(run.output_dir, "log.jsonl")
         if run.resume:
             self.try_restore()
+
+    def _place_batch(self, batch: Batch) -> Batch:
+        """Shard the batch: sequences split along data, vision replicated
+        (the frozen ViT's forward is a small fraction of step FLOPs)."""
+        if self.mesh is None:
+            return batch
+        d = DATA_AXIS
+        spec = dataclasses.replace(
+            Batch(
+                input_ids=P(None, d), labels=P(None, d),
+                position_ids=P(None, None, d), attention_mask=P(None, d),
+                vision_patches=None if batch.vision_patches is None else P(),
+                vision_cos=None if batch.vision_cos is None else P(),
+                vision_sin=None if batch.vision_sin is None else P(),
+                vision_seg_ids=None if batch.vision_seg_ids is None else P(),
+                image_patches=None if batch.image_patches is None else P(),
+                image_cos=None if batch.image_cos is None else P(),
+                image_sin=None if batch.image_sin is None else P(),
+                image_seg_ids=None if batch.image_seg_ids is None else P(),
+            ),
+            vision_group=batch.vision_group, image_group=batch.image_group,
+        )
+        return jax.tree_util.tree_map(
+            lambda x, sp: x if x is None else jax.device_put(x, NamedSharding(self.mesh, sp)),
+            batch, spec, is_leaf=lambda x: x is None,
+        )
 
     # -- checkpointing (orbax) -------------------------------------------
 
@@ -113,19 +176,27 @@ class Trainer:
         with open(self._log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
-    def sample_indices(self, rng: random.Random) -> list[int]:
-        """One accumulation window of sample indices, sharded per host."""
-        n_hosts = jax.process_count()
-        host = jax.process_index()
-        return [
-            rng.randrange(host, len(self.dataset) - ((len(self.dataset) - host) % n_hosts) or len(self.dataset), n_hosts)
-            if n_hosts > 1 else rng.randrange(len(self.dataset))
-            for _ in range(self.run.accum_steps)
-        ]
+    def sample_indices(
+        self, rng: random.Random, host: int | None = None, n_hosts: int | None = None
+    ) -> list[int]:
+        """One window of accum_steps x batch_rows indices, disjoint per host.
+
+        Every host draws the SAME pseudo-random stream (same seed) over
+        ``n // n_hosts`` strided slots, then lands in its own congruence
+        class — no coordination, no overlap (the reference's
+        DistributedSampler equivalent).
+        """
+        host = jax.process_index() if host is None else host
+        n_hosts = jax.process_count() if n_hosts is None else n_hosts
+        n = len(self.dataset)
+        count = self.run.accum_steps * self.batch_rows
+        if n_hosts <= 1 or n < n_hosts:
+            return [rng.randrange(n) for _ in range(count)]
+        return [rng.randrange(n // n_hosts) * n_hosts + host for _ in range(count)]
 
     def _load_batch(self, indices: list[int]):
         samples = [self.dataset[i] for i in indices]
-        return collate(samples, self.cfg)
+        return self._place_batch(collate(samples, self.cfg, rows=self.batch_rows))
 
     def train(self) -> dict:
         """Run to total_steps with one-batch lookahead prefetch.
