@@ -2,10 +2,12 @@
 
 Reference: data/production/distributed_whisperx.py — faster-whisper
 large-v3-turbo with word timestamps (:7-23), audio via decord AudioReader,
-node(ARNOLD_ID) x worker x chunk sharding (:40-63). CTranslate2 is not in
-this image, so the transcription model is a pluggable callable; the sharding
-math, audio extraction contract, and output format (word triples consumed by
-tools.production) are implemented and tested here.
+node(ARNOLD_ID) x worker x chunk sharding (:40-63). The default transcriber
+is the JAX Whisper stack (models/whisper + the native audio decoder + the
+log-mel frontend); word timestamps come from uniform division within each
+decoded segment — the same approximation the reference's pretrain pipeline
+applies to YT-CC subtitles (data/production/pretrain_to_clips.py:15-30).
+Any callable with the same signature can be plugged in instead.
 """
 
 from __future__ import annotations
@@ -18,6 +20,57 @@ Word = tuple[float, float, str]
 
 # transcribe(audio_path_or_video_path) -> [(start, end, word), ...]
 Transcriber = Callable[[str], list[Word]]
+
+
+class WhisperTranscriber:
+    """Segment-level greedy Whisper transcription -> word triples.
+
+    ``checkpoint_dir`` holds an HF Whisper checkpoint (config.json +
+    safetensors + tokenizer.json). ``decode_text`` maps token ids to text —
+    defaults to tokenizers' Tokenizer when tokenizer.json exists.
+    """
+
+    def __init__(self, checkpoint_dir: str, *, chunk_seconds: int = 30,
+                 decode_text: Callable[[list[int]], str] | None = None):
+        from livecc_tpu.models.whisper import config_from_hf_json, load_safetensors_dir
+
+        self.cfg = config_from_hf_json(checkpoint_dir)
+        self.params = load_safetensors_dir(checkpoint_dir, self.cfg)
+        self.chunk_seconds = chunk_seconds
+        if decode_text is None:
+            from livecc_tpu.data.tokenizer import HFTokenizer
+            tok = HFTokenizer(checkpoint_dir)
+            decode_text = lambda ids: tok.decode(ids, skip_special_tokens=True)
+        self.decode_text = decode_text
+
+    def __call__(self, media_path: str) -> list[Word]:
+        from livecc_tpu.audio.mel import SAMPLE_RATE, log_mel_spectrogram
+        from livecc_tpu.models.whisper import greedy_transcribe_tokens
+        from livecc_tpu.vision_io.video_reader import load_audio
+
+        audio = load_audio(media_path, SAMPLE_RATE)
+        span = self.chunk_seconds * SAMPLE_RATE
+        words: list[Word] = []
+        prompt = [self.cfg.decoder_start_token_id]
+        for start in range(0, max(len(audio), 1), span):
+            seg = audio[start:start + span]
+            if not len(seg):
+                break
+            mel = log_mel_spectrogram(seg, num_mel_filters=self.cfg.num_mel_bins)
+            tokens = greedy_transcribe_tokens(self.params, self.cfg, mel, prompt)
+            text = self.decode_text(
+                [t for t in tokens if t < self.cfg.timestamp_begin]
+            ).strip()
+            if not text:
+                continue
+            t0 = start / SAMPLE_RATE
+            t1 = min(start + len(seg), len(audio)) / SAMPLE_RATE
+            # uniform word timing within the segment (pretrain_to_clips.py:15-30)
+            pieces = text.split()
+            step = (t1 - t0) / max(len(pieces), 1)
+            words += [(t0 + i * step, t0 + (i + 1) * step, w)
+                      for i, w in enumerate(pieces)]
+        return words
 
 
 def node_worker_shard(

@@ -35,6 +35,7 @@ extern "C" {
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
 #include <libswscale/swscale.h>
+#include <libswresample/swresample.h>
 }
 
 namespace {
@@ -364,6 +365,130 @@ void vr_close(int64_t handle) {
   free_reader(r);
 }
 
+// --- audio (decord AudioReader equivalent, N1) ------------------------------
+// Decodes the first audio stream to mono float32 PCM at the requested sample
+// rate (libswresample). Reference uses decord's AudioReader for WhisperX
+// input (data/production/distributed_whisperx.py:14-16).
+
+struct AudioBuf {
+  std::vector<float> samples;
+};
+
+std::unordered_map<int64_t, AudioBuf*> g_audio;
+
+int64_t vr_audio_open_impl(AVFormatContext* fmt, int sample_rate) {
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    set_error("no stream info");
+    avformat_close_input(&fmt);
+    return 0;
+  }
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+  if (si < 0) {
+    set_error("no audio stream");
+    avformat_close_input(&fmt);
+    return 0;
+  }
+  AVStream* st = fmt->streams[si];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  AVCodecContext* c = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(c, st->codecpar);
+  if (!dec || avcodec_open2(c, dec, nullptr) < 0) {
+    set_error("audio codec open failed");
+    avcodec_free_context(&c);
+    avformat_close_input(&fmt);
+    return 0;
+  }
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  AVChannelLayout in_layout;
+  av_channel_layout_copy(&in_layout, &c->ch_layout);
+  if (in_layout.nb_channels == 0) av_channel_layout_default(&in_layout, 1);
+  swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, sample_rate,
+                      &in_layout, c->sample_fmt,
+                      c->sample_rate > 0 ? c->sample_rate : sample_rate,
+                      0, nullptr);
+  if (!swr || swr_init(swr) < 0) {
+    set_error("swr init failed");
+    if (swr) swr_free(&swr);
+    avcodec_free_context(&c);
+    avformat_close_input(&fmt);
+    return 0;
+  }
+
+  AudioBuf* out = new AudioBuf();
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* fr = av_frame_alloc();
+  std::vector<float> tmp;
+  auto drain = [&](AVFrame* f) {
+    int max_out = f ? swr_get_out_samples(swr, f->nb_samples)
+                    : (int)swr_get_delay(swr, sample_rate) + 256;
+    if (max_out <= 0) max_out = 256;
+    tmp.resize((size_t)max_out);
+    uint8_t* outp[1] = {reinterpret_cast<uint8_t*>(tmp.data())};
+    int got = swr_convert(swr, outp, max_out,
+                          f ? const_cast<const uint8_t**>(f->extended_data) : nullptr,
+                          f ? f->nb_samples : 0);
+    if (got > 0) out->samples.insert(out->samples.end(), tmp.begin(), tmp.begin() + got);
+  };
+  bool eof = false;
+  while (!eof) {
+    int rr = av_read_frame(fmt, pkt);
+    if (rr < 0) {
+      avcodec_send_packet(c, nullptr);
+      eof = true;
+    } else if (pkt->stream_index == si) {
+      avcodec_send_packet(c, pkt);
+    }
+    av_packet_unref(pkt);
+    while (avcodec_receive_frame(c, fr) == 0) drain(fr);
+  }
+  drain(nullptr);  // flush the resampler
+
+  av_frame_free(&fr);
+  av_packet_free(&pkt);
+  swr_free(&swr);
+  av_channel_layout_uninit(&in_layout);
+  avcodec_free_context(&c);
+  avformat_close_input(&fmt);
+
+  std::lock_guard<std::mutex> lock(g_mutex);
+  int64_t h = g_next_handle++;
+  g_audio[h] = out;
+  return h;
+}
+
+int64_t vr_audio_open(const char* path, int sample_rate) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
+    set_error(std::string("cannot open ") + path);
+    return 0;
+  }
+  return vr_audio_open_impl(fmt, sample_rate);
+}
+
+int64_t vr_audio_len(int64_t handle) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_audio.find(handle);
+  return it == g_audio.end() ? -1 : (int64_t)it->second->samples.size();
+}
+
+int vr_audio_copy(int64_t handle, float* out) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_audio.find(handle);
+  if (it == g_audio.end()) return -1;
+  std::memcpy(out, it->second->samples.data(), it->second->samples.size() * sizeof(float));
+  return 0;
+}
+
+void vr_audio_close(int64_t handle) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_audio.find(handle);
+  if (it == g_audio.end()) return;
+  delete it->second;
+  g_audio.erase(it);
+}
+
 // --- test-asset encoder (mpeg4, no external binaries needed) ---------------
 // frames: [n, h, w, 3] RGB24. fps must be > 0.
 int vr_encode_test_video(const char* path, const uint8_t* frames, int64_t n,
@@ -433,6 +558,67 @@ int vr_encode_test_video(const char* path, const uint8_t* frames, int64_t n,
   av_packet_free(&pkt);
   avcodec_free_context(&c);
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+// Write mono float samples as a 16-bit WAV (test asset for the audio path).
+int vr_encode_test_audio(const char* path, const float* samples, int64_t n,
+                         int sample_rate) {
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, "wav", path);
+  if (!fmt) { set_error("alloc wav output"); return -1; }
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* c = avcodec_alloc_context3(enc);
+  c->sample_rate = sample_rate;
+  av_channel_layout_default(&c->ch_layout, 1);
+  c->sample_fmt = AV_SAMPLE_FMT_S16;
+  c->time_base = {1, sample_rate};
+  if (avcodec_open2(c, enc, nullptr) < 0) { set_error("pcm encoder open"); return -1; }
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+  if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) { set_error("avio_open"); return -1; }
+  if (avformat_write_header(fmt, nullptr) < 0) { set_error("wav header"); return -1; }
+
+  AVFrame* fr = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  const int chunk = 4096;
+  for (int64_t pos = 0; pos < n; pos += chunk) {
+    int cnt = (int)std::min<int64_t>(chunk, n - pos);
+    fr->nb_samples = cnt;
+    fr->format = AV_SAMPLE_FMT_S16;
+    av_channel_layout_default(&fr->ch_layout, 1);
+    fr->sample_rate = sample_rate;
+    av_frame_get_buffer(fr, 0);
+    int16_t* dst = reinterpret_cast<int16_t*>(fr->data[0]);
+    for (int i = 0; i < cnt; ++i) {
+      float s = samples[pos + i];
+      s = s < -1.f ? -1.f : (s > 1.f ? 1.f : s);
+      dst[i] = (int16_t)(s * 32767.f);
+    }
+    fr->pts = pos;
+    avcodec_send_frame(c, fr);
+    while (avcodec_receive_packet(c, pkt) == 0) {
+      av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+    av_frame_unref(fr);
+  }
+  avcodec_send_frame(c, nullptr);
+  while (avcodec_receive_packet(c, pkt) == 0) {
+    av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+    pkt->stream_index = st->index;
+    av_interleaved_write_frame(fmt, pkt);
+    av_packet_unref(pkt);
+  }
+  av_write_trailer(fmt);
+  av_frame_free(&fr);
+  av_packet_free(&pkt);
+  avcodec_free_context(&c);
+  avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
 }

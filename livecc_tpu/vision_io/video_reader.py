@@ -58,6 +58,17 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.vr_encode_test_video.restype = ctypes.c_int
+        lib.vr_audio_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.vr_audio_open.restype = ctypes.c_int64
+        lib.vr_audio_len.argtypes = [ctypes.c_int64]
+        lib.vr_audio_len.restype = ctypes.c_int64
+        lib.vr_audio_copy.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
+        lib.vr_audio_copy.restype = ctypes.c_int
+        lib.vr_audio_close.argtypes = [ctypes.c_int64]
+        lib.vr_encode_test_audio.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.vr_encode_test_audio.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -146,6 +157,36 @@ class VideoReader:
             self.close()
         except Exception:
             pass
+
+
+def load_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
+    """Decode a media file's first audio stream -> mono float32 [T] at
+    ``sample_rate`` (decord AudioReader equivalent; reference
+    data/production/distributed_whisperx.py:14-16)."""
+    lib = _load()
+    h = lib.vr_audio_open(path.encode(), sample_rate)
+    if h == 0:
+        raise IOError(f"cannot open audio: {lib.vr_last_error().decode()}")
+    try:
+        n = int(lib.vr_audio_len(h))
+        out = np.empty(n, np.float32)
+        if n and lib.vr_audio_copy(h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))):
+            raise IOError("audio copy failed")
+        return out
+    finally:
+        lib.vr_audio_close(h)
+
+
+def encode_test_audio(path: str, samples: np.ndarray, sample_rate: int = 16000) -> None:
+    """Write mono float samples as a 16-bit WAV (tests)."""
+    lib = _load()
+    samples = np.ascontiguousarray(samples, np.float32)
+    rc = lib.vr_encode_test_audio(
+        path.encode(), samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(samples), sample_rate,
+    )
+    if rc != 0:
+        raise IOError(f"audio encode failed: {lib.vr_last_error().decode()}")
 
 
 def encode_test_video(path: str, frames: np.ndarray, fps: int = 30) -> None:

@@ -83,6 +83,29 @@ def test_open_from_bytes(clip):
     assert gray_to_index(r_loader.get_batch([42])[0]) == 42
 
 
+def test_audio_decode_and_resample():
+    """Native audio path (decord AudioReader equivalent): decode a WAV to
+    mono float at the requested rate; downsampling halves the length."""
+    import tempfile
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/tone.wav"
+        vr.encode_test_audio(path, sig, sr)
+        out = vr.load_audio(path, sr)
+        assert len(out) == len(sig)
+        assert np.corrcoef(out, sig)[0, 1] > 0.999
+        out8 = vr.load_audio(path, 8000)
+        assert abs(len(out8) - sr) < 64
+
+
+def test_audio_missing_stream(clip):
+    path, _ = clip
+    with pytest.raises(IOError):
+        vr.load_audio(path)   # test clips are video-only
+
+
 def test_open_bad_bytes():
     with pytest.raises(IOError):
         vr.VideoReader(b"not a video at all" * 10)
