@@ -1,4 +1,4 @@
-"""North-star serving benchmark: 8 concurrent 720p streams, p50 chunk latency.
+"""North-star serving benchmark (+ training MFU): 8 concurrent 720p streams.
 
 BASELINE.md targets: >=8 concurrent 1-fps 720p streams with p50 per-2-frame
 commentary chunk latency < 2 s. Each tick, all 8 streams submit their next
@@ -6,16 +6,23 @@ commentary chunk latency < 2 s. Each tick, all 8 streams submit their next
 batched fused decode and the host drains tick N's text while tick N+1
 computes. The metric is honest end-to-end latency (submit -> text drained);
 real-time sustainability additionally requires tick wall < 1 s (reported in
-the stderr diagnostics).
+the diagnostics).
 
-Prints ONE JSON line:
+Also times one compiled training step (2B, frozen ViT, grad accumulation,
+8k-token bucket with a video span — the reference recipe's shape,
+scripts/pt_local.sh:17-31) and reports tokens/s + MFU vs chip peak.
+
+The LAST stdout line is the headline JSON:
   {"metric": "p50_chunk_latency_8streams_<cfg>_<backend>", "value": p50_s,
    "unit": "s", "vs_baseline": 2.0 / p50}
 (vs_baseline > 1: faster than the 2 s budget; > 2: sustains real time.)
+Earlier lines carry the training metric + diagnostics. Set BENCH_TRAIN=0 /
+BENCH_SERVE=0 to skip a section.
 
 Model: random-init Qwen2-VL-2B bf16 on TPU (largest family member fitting
-one chip; the 7B runs the same programs under model-axis sharding). CPU
-fallback uses the tiny config (smoke only — this host is 1 throttled vCPU).
+one chip; the 7B runs the same programs under model-axis sharding — see
+parallel/memory.py for the checked v5e-8 budget). CPU fallback uses the
+tiny config (smoke only — this host is 1 throttled vCPU).
 """
 
 from __future__ import annotations
@@ -30,9 +37,113 @@ import os
 N_STREAMS = int(os.environ.get("BENCH_STREAMS", 8))
 N_WARMUP = 2
 N_TICKS = 10
+# v5e bf16 peak; override for other chips (v4: 275, v5p: 459).
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
 
 
-def main() -> None:
+def bench_train() -> dict:
+    """One compiled train step at the reference recipe's shape; MFU report."""
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+
+    from livecc_tpu.core.config import ModelConfig, tiny_config
+    from livecc_tpu.models.qwen2_vl.model import init_params, prepare_vision_inputs
+    from livecc_tpu.train import Batch, TrainConfig, make_optimizer, make_train_step, split_frozen
+    from livecc_tpu.utils.flops import train_step_flops
+
+    if on_tpu:
+        # Full 2B layer widths, LLM depth 14 of 28: full-depth 2B training
+        # state (bf16 params + fp32 grads + Adam moments) exceeds one 16 GiB
+        # chip — by the same arithmetic as parallel/memory.py, training runs
+        # ZeRO-2 over the data axis. Per-layer shapes (and therefore MFU)
+        # are identical at any depth; tokens/s for full depth = this / 2.
+        full = ModelConfig.qwen2_vl_2b()
+        depth = int(os.environ.get("BENCH_TRAIN_DEPTH", 12))
+        cfg = dataclasses.replace(
+            full,
+            vision=dataclasses.replace(full.vision, depth=16),
+            text=dataclasses.replace(full.text, num_hidden_layers=depth),
+            name=f"{full.name}-d{depth}",
+        )
+        # seq 4096: the XLA attention backward materializes ~3x [S, S] f32
+        # per layer even under remat (~10 GB at 8k) — a flash train kernel
+        # would lift this; 4k is the largest bucket that fits beside the
+        # optimizer state today.
+        accum, seq = 4, 4096
+        grid = (24, 16, 34)       # ~48 s of 2-fps video -> 3264 video tokens
+        n_steps = 3
+    else:
+        cfg = tiny_config()
+        accum, seq = 2, 256
+        grid = (2, 4, 4)
+        n_steps = 1
+
+    n_patches = grid[0] * grid[1] * grid[2]
+    n_vid = n_patches // 4
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tcfg = TrainConfig(total_steps=1000, ce_chunk_size=1024 if on_tpu else 128)
+    opt = make_optimizer(tcfg, params)
+    opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(8, cfg.text.vocab_size, size=(accum, 1, seq)).astype(np.int32)
+    ids[:, :, 4] = cfg.vision_start_token_id
+    ids[:, :, 5:5 + n_vid] = cfg.video_token_id
+    ids[:, :, 5 + n_vid] = cfg.vision_end_token_id
+    labels = ids.copy()
+    sup_start = 5 + n_vid + 1
+    labels[:, :, :sup_start] = -100       # only the post-video span supervised
+    sup_tokens = seq - sup_start
+    pos = np.broadcast_to(np.arange(seq)[None, None, None], (accum, 3, 1, seq)).astype(np.int32)
+    vis = prepare_vision_inputs(
+        cfg, rng.randn(n_patches, cfg.vision.patch_dim).astype(np.float32), [grid]
+    )
+    bcast = lambda x: jnp.broadcast_to(x, (accum,) + x.shape)
+    batch = Batch(
+        input_ids=jnp.asarray(ids), labels=jnp.asarray(labels),
+        position_ids=jnp.asarray(np.ascontiguousarray(pos)),
+        attention_mask=jnp.ones((accum, 1, seq), bool),
+        vision_patches=bcast(vis.patches), vision_cos=bcast(vis.cos),
+        vision_sin=bcast(vis.sin), vision_seg_ids=bcast(vis.seg_ids),
+        vision_group=grid[1] * grid[2],
+    )
+
+    step = jax.jit(make_train_step(cfg, tcfg, opt), donate_argnums=(0, 1))
+    t0 = time.perf_counter()
+    params, opt_state, metrics = step(params, opt_state, batch)
+    loss = float(np.asarray(metrics["loss"]))   # force completion (CLAUDE.md)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        loss = float(np.asarray(metrics["loss"]))
+    wall = (time.perf_counter() - t0) / n_steps
+
+    flops = train_step_flops(
+        cfg, seq_len=seq, sup_tokens=sup_tokens, n_patches=n_patches,
+        vit_group=grid[1] * grid[2], accum=accum, vit_frozen=True,
+    )
+    tokens_per_s = accum * seq / wall
+    mfu = flops / wall / (PEAK_TFLOPS * 1e12)
+    return {
+        "metric": f"train_step_tokens_per_s_{cfg.name}_{backend}",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(mfu, 4),   # fraction of chip peak (MFU)
+        "diagnostics": {
+            "step_wall_s": round(wall, 4), "compile_s": round(compile_s, 1),
+            "mfu": round(mfu, 4), "accum": accum, "seq": seq,
+            "video_patches": n_patches, "supervised_tokens": sup_tokens,
+            "loss": round(loss, 4), "peak_tflops": PEAK_TFLOPS,
+        },
+    }
+
+
+def bench_serving() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -57,8 +168,9 @@ def main() -> None:
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = jax.block_until_ready(params)
     cache_len = int(os.environ.get("BENCH_CACHE_LEN", 8192))
+    cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[os.environ.get("BENCH_KV", "bf16")]
     engine = LiveCCEngine(
-        params, cfg, ByteTokenizer.for_config(cfg), cache_len=cache_len, cache_dtype=jnp.bfloat16
+        params, cfg, ByteTokenizer.for_config(cfg), cache_len=cache_len, cache_dtype=cache_dtype
     )
     gen = GenerationParams(
         max_new_tokens=16,
@@ -116,20 +228,37 @@ def main() -> None:
     # recorded by the server's background collector.
     e2e = engine.metrics.summary("chunk_e2e_latency")
     p50 = e2e.get("p50", float(np.percentile(latencies, 50)))
-    print(json.dumps({
-        "metric": f"p50_chunk_latency_{N_STREAMS}streams_{cfg.name}_{backend}",
+    kv_tag = "" if cache_dtype == jnp.bfloat16 else "_int8kv"
+    return {
+        "metric": f"p50_chunk_latency_{N_STREAMS}streams_{cfg.name}{kv_tag}_{backend}",
         "value": round(p50, 4),
         "unit": "s",
         "vs_baseline": round(2.0 / p50, 2),
-    }))
-    print(json.dumps({
         "diagnostics": {
             "p50_tick_wall_s": round(float(np.percentile(tick_wall, 50)), 4),
             "throughput_chunks_per_s": round(throughput, 2),
             "streams": N_STREAMS,
             "engine_metrics": engine.metrics.summary(),
-        }
-    }), file=sys.stderr)
+        },
+    }
+
+
+def main() -> None:
+    """The LAST stdout line is the headline metric (driver parses last)."""
+    import sys
+
+    results = []
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        results.append(bench_train())
+    if os.environ.get("BENCH_SERVE", "1") != "0":
+        results.append(bench_serving())        # headline stays last
+    for r in results:
+        print(json.dumps({"diagnostics": {r["metric"]: r.pop("diagnostics")}}),
+              file=sys.stderr)
+        sys.stderr.flush()
+    for r in results:
+        print(json.dumps(r))
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

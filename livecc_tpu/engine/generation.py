@@ -154,7 +154,7 @@ def prefill(
     from livecc_tpu.models.qwen2_vl.text import lm_logits
     last_hidden = hidden[jnp.arange(b), jnp.maximum(valid_len - 1, 0)]  # [B, H]
     last = lm_logits(params["text"], cfg.text, last_hidden[:, None, :])[:, 0]  # [B, V]
-    new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + valid_len)
+    new_cache = dataclasses.replace(new_cache, offset=cache.offset + valid_len)
     if counts is not None:
         counts = update_counts(counts, ids, valid_len,
                                jnp.int32(-1) if remove_token is None else remove_token)
@@ -211,7 +211,7 @@ def decode_chunk(
             kv_limit=cache.offset + 1, use_flash=use_flash, compute_logits=True,
         )
         advance = jnp.where(now_stopped, 0, 1)                      # [B]
-        new_cache = KVCache(new_cache.k, new_cache.v, cache.offset + advance)
+        new_cache = dataclasses.replace(new_cache, offset=cache.offset + advance)
         return (step_logits[:, -1], new_cache, now_stopped, counts, key), (token_out, ~stopped)
 
     stopped0 = jnp.zeros((b,), jnp.bool_) if active is None else jnp.broadcast_to(~active, (b,))

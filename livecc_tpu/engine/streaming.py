@@ -119,11 +119,15 @@ class LiveCCEngine:
         new_cap = cap
         while off + needed > new_cap:
             new_cap *= 2
-        k = jnp.zeros(state.cache.k.shape[:3] + (new_cap,) + state.cache.k.shape[4:], self.cache_dtype)
-        v = jnp.zeros_like(k)
-        k = jax.lax.dynamic_update_slice(k, state.cache.k, (0, 0, 0, 0, 0))
-        v = jax.lax.dynamic_update_slice(v, state.cache.v, (0, 0, 0, 0, 0))
-        state.cache = KVCache(k, v, state.cache.offset)
+
+        def grow(arr):
+            if arr is None:
+                return None
+            out = jnp.zeros(arr.shape[:3] + (new_cap,) + arr.shape[4:], arr.dtype)
+            return jax.lax.dynamic_update_slice(out, arr, (0,) * arr.ndim)
+
+        state.cache = KVCache(grow(state.cache.k), grow(state.cache.v), state.cache.offset,
+                              grow(state.cache.k_scale), grow(state.cache.v_scale))
 
     # ------------------------------------------------------------------
     # one chunk: text+frames -> generated words

@@ -198,6 +198,7 @@ def forward(
     use_flash: bool = False,
     compute_logits: bool = True,
     vision_images: Optional[VisionInputs] = None,   # image clips -> image_token_id slots
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full multimodal forward. Returns (logits [B,S,V] fp32 or hidden, cache)."""
     embeds = params["text"]["embed"]["weight"][input_ids]
@@ -230,6 +231,7 @@ def forward(
     hidden, new_cache = text_forward(
         params["text"], cfg.text, embeds, position_ids, cache=cache,
         attention_mask=attention_mask, kv_limit=kv_limit, use_flash=use_flash,
+        remat=remat,
     )
     if not compute_logits:
         return hidden, new_cache

@@ -34,21 +34,44 @@ class KVCache:
     Pallas kernels tile it directly (TPU blocks must tile the trailing two
     dims) and cache updates/attention reads need no transposes. ``offset``
     is [B]: every row (stream) sits at its own depth — the continuous-
-    batching substrate (serve/)."""
+    batching substrate (serve/).
+
+    ``dtype=jnp.int8`` stores a QUANTIZED cache: symmetric per-(position,
+    head) int8 with bf16 scales ([L, B, Hk, Smax, 1]) — halves KV HBM vs
+    bf16, tripling stream capacity at a ~0.4% dequantization error (keys
+    scale attention scores per column; values scale the probe weights)."""
 
     k: jnp.ndarray         # [L, B, Hk, Smax, D]
     v: jnp.ndarray         # [L, B, Hk, Smax, D]
     offset: jnp.ndarray    # int32 [B]
+    k_scale: Optional[jnp.ndarray] = None   # [L, B, Hk, Smax, 1] bf16 (int8 cache)
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[-2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
     @staticmethod
     def zeros(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
         shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                       jnp.zeros((batch,), jnp.int32))
+        offset = jnp.zeros((batch,), jnp.int32)
+        if dtype == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), offset,
+                           jnp.zeros(sshape, jnp.bfloat16), jnp.zeros(sshape, jnp.bfloat16))
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), offset)
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., D] -> (int8 [..., D], bf16 scale [..., 1]); symmetric per row."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
 
 
 def init_text_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Params:
@@ -102,6 +125,7 @@ def text_forward(
     attention_mask: Optional[jnp.ndarray] = None,  # bool [B, S] (current tokens) or [B, Smax] (cache mode)
     kv_limit: Optional[jnp.ndarray] = None,        # int32 scalar: keys < kv_limit valid (cache mode)
     use_flash: bool = False,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (final hidden states [B, S, H], updated cache or None).
 
@@ -109,6 +133,11 @@ def text_forward(
     (ops/pallas/attention.py) — the TPU serving path; the XLA path is the
     CPU/test reference. ``kv_limit`` bounds valid cache keys (defaults to
     offset + S); in flash mode it replaces ``attention_mask``.
+    ``remat`` checkpoints each layer (training): backward recomputes the
+    layer forward instead of saving per-layer attention probabilities —
+    without it a 28-layer 8k-token step stores an
+    [L, B, Hq, S, S] residual (~90 GB, N9-equivalent of the reference's
+    --gradient_checkpointing, scripts/pt_local.sh:21).
     """
     b, s, h = inputs_embeds.shape
     hq, hk, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -145,42 +174,67 @@ def text_forward(
         # layer-indexed dynamic_update_slice — XLA aliases this in place.
         # (Emitting per-layer caches as scan ys rewrote the full cache every
         # call: +10 ms per decode step at an 8 GB-class cache. See PERF.md.)
+        quant = cache.quantized
+
         def block(carry, xs):
-            x, ck_all, cv_all = carry
+            x, ck_all, cv_all, scales = carry
             layer, li = xs
 
             def attend(q, k, v):
-                kt = jnp.swapaxes(k, 1, 2).astype(ck_all.dtype)   # [B,Hk,s,D]
-                vt = jnp.swapaxes(v, 1, 2).astype(cv_all.dtype)
+                kt = jnp.swapaxes(k, 1, 2)                    # [B, Hk, s, D]
+                vt = jnp.swapaxes(v, 1, 2)
+                if quant:
+                    cks, cvs = scales
+                    kt, ks = quantize_kv(kt)
+                    vt, vs = quantize_kv(vt)
+                    new_scales = (_write_kv(cks, li, ks, cache.offset),
+                                  _write_kv(cvs, li, vs, cache.offset))
+                else:
+                    kt = kt.astype(ck_all.dtype)
+                    vt = vt.astype(cv_all.dtype)
+                    new_scales = scales
                 nonlocal_k = _write_kv(ck_all, li, kt, cache.offset)
                 nonlocal_v = _write_kv(cv_all, li, vt, cache.offset)
                 qt = jnp.swapaxes(q, 1, 2)                    # [B, Hq, s, D]
+                ksc = new_scales[0] if quant else None
+                vsc = new_scales[1] if quant else None
                 if flash and s == 1:
                     # layer-indexed 5D cache: no per-layer slice materialized
-                    attn = flash_decode(qt, nonlocal_k, nonlocal_v, kv_limit, li)
+                    attn = flash_decode(qt, nonlocal_k, nonlocal_v, kv_limit, li,
+                                        k_scale=ksc, v_scale=vsc)
                 elif flash:
                     attn = flash_prefill(qt, nonlocal_k, nonlocal_v,
-                                         cache.offset, kv_limit, li)
+                                         cache.offset, kv_limit, li,
+                                         k_scale=ksc, v_scale=vsc)
                 else:
                     ck = lax.dynamic_index_in_dim(nonlocal_k, li, 0, keepdims=False)
                     cv = lax.dynamic_index_in_dim(nonlocal_v, li, 0, keepdims=False)
-                    attn = mha_bhsd(qt, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
-                attend.updated = (nonlocal_k, nonlocal_v)
+                    ck = ck.astype(q.dtype)
+                    cv = cv.astype(q.dtype)
+                    if quant:
+                        ck = ck * lax.dynamic_index_in_dim(ksc, li, 0, keepdims=False).astype(q.dtype)
+                        cv = cv * lax.dynamic_index_in_dim(vsc, li, 0, keepdims=False).astype(q.dtype)
+                    attn = mha_bhsd(qt, ck, cv, mask=mask)
+                attend.updated = (nonlocal_k, nonlocal_v, new_scales)
                 return jnp.swapaxes(attn, 1, 2)               # [B, s, Hq, D]
 
             x = attn_mlp(x, layer, attend)
-            ck_all, cv_all = attend.updated
-            return (x, ck_all, cv_all), None
+            ck_all, cv_all, scales = attend.updated
+            return (x, ck_all, cv_all, scales), None
 
-        (x, new_k, new_v), _ = lax.scan(
-            block, (inputs_embeds, cache.k, cache.v),
+        init_scales = (cache.k_scale, cache.v_scale) if quant else ()
+        (x, new_k, new_v, new_scales), _ = lax.scan(
+            block, (inputs_embeds, cache.k, cache.v, init_scales),
             (params["layers"], jnp.arange(cfg.num_hidden_layers)),
         )
-        new_cache = KVCache(new_k, new_v, cache.offset + s)
+        new_cache = KVCache(new_k, new_v, cache.offset + s,
+                            *(new_scales if quant else (None, None)))
     else:
         def block(x, layer):
             return attn_mlp(x, layer, lambda q, k, v: mha(q, k, v, mask=mask)), None
 
+        if remat:
+            block = jax.checkpoint(block, policy=jax.checkpoint_policies.nothing_saveable)
         x, _ = lax.scan(block, inputs_embeds, params["layers"])
         new_cache = None
 

@@ -48,8 +48,13 @@ def _as_row_scalars(x, b: int) -> jnp.ndarray:
 # prefill
 # ---------------------------------------------------------------------------
 
-def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                    *, bq: int, bk: int, scale: float, nkv: int, layered: bool):
+def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, *rest,
+                    bq: int, bk: int, scale: float, nkv: int, layered: bool,
+                    quantized: bool):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     bi = pl.program_id(0)
     iq = pl.program_id(2)
     j = pl.program_id(3)
@@ -70,9 +75,15 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         q = q_ref[0, 0]                          # [bq, D]
         k = k_ref[0, 0, 0] if layered else k_ref[0, 0]      # [bk, D]
         v = v_ref[0, 0, 0] if layered else v_ref[0, 0]
+        if quantized:
+            k = k.astype(q.dtype)                # int8 -> model dtype; scores
+            v = v.astype(jnp.float32)            # rescale per KEY column below
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                # [bq, bk]
+        if quantized:
+            ks = (ks_ref[0, 0, 0] if layered else ks_ref[0, 0]).astype(jnp.float32)
+            s = s * ks.reshape(1, bk)            # per-key dequant of scores
         qpos = offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         allowed = (kpos <= qpos) & (kpos < kv_limit)
@@ -82,6 +93,9 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         p = jnp.exp(s - m_new)                   # [bq, bk]
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if quantized:
+            vs = (vs_ref[0, 0, 0] if layered else vs_ref[0, 0]).astype(jnp.float32)
+            p = p * vs.reshape(1, bk)            # fold v's dequant into probes
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -103,6 +117,8 @@ def flash_prefill(
     offset: jnp.ndarray,       # int32 scalar or [B] — queries start here (per row)
     kv_limit: jnp.ndarray,     # int32 scalar or [B] — keys < kv_limit valid (per row)
     layer_index: jnp.ndarray | None = None,  # int32 scalar into a 5D cache
+    k_scale: jnp.ndarray | None = None,      # int8 cache: [..., Smax, 1] scales
+    v_scale: jnp.ndarray | None = None,
     *,
     bq: int = 128,
     bk: int = 256,
@@ -110,6 +126,7 @@ def flash_prefill(
 ) -> jnp.ndarray:
     b, hq, sq, d = q.shape
     layered = k.ndim == 5
+    quantized = k_scale is not None
     hk, smax = k.shape[-3], k.shape[-2]
     g = hq // hk
     bq = min(bq, sq)
@@ -134,14 +151,20 @@ def flash_prefill(
         return (s_ref[2, bi],) + idx if layered else idx
 
     kv_block = (1, 1, 1, bk, d) if layered else (1, 1, bk, d)
+    sc_block = (1, 1, 1, bk, 1) if layered else (1, 1, bk, 1)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), q_map),
+        pl.BlockSpec(kv_block, kv_map),
+        pl.BlockSpec(kv_block, kv_map),
+    ]
+    operands = [q, k, v]
+    if quantized:
+        in_specs += [pl.BlockSpec(sc_block, kv_map), pl.BlockSpec(sc_block, kv_map)]
+        operands += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hq, nq, nkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), q_map),
-            pl.BlockSpec(kv_block, kv_map),
-            pl.BlockSpec(kv_block, kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d), q_map),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -150,21 +173,26 @@ def flash_prefill(
         ],
     )
     kernel = functools.partial(_prefill_kernel, bq=bq, bk=bk, scale=scale, nkv=nkv,
-                               layered=layered)
+                               layered=layered, quantized=quantized)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(scalars, q, k, v)
+    )(scalars, *operands)
 
 
 # ---------------------------------------------------------------------------
 # decode (single query token)
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                   *, bk: int, scale: float, nkv: int, layered: bool):
+def _decode_kernel(s_ref, q_ref, k_ref, v_ref, *rest,
+                   bk: int, scale: float, nkv: int, layered: bool,
+                   quantized: bool):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     bi = pl.program_id(0)
     j = pl.program_id(2)
     kv_limit = s_ref[0, bi]
@@ -180,9 +208,15 @@ def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         q = q_ref[0, 0]                          # [G, D]
         k = k_ref[0, 0, 0] if layered else k_ref[0, 0]      # [bk, D]
         v = v_ref[0, 0, 0] if layered else v_ref[0, 0]
+        if quantized:
+            k = k.astype(q.dtype)
+            v = v.astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                # [G, bk]
+        if quantized:
+            ks = (ks_ref[0, 0, 0] if layered else ks_ref[0, 0]).astype(jnp.float32)
+            s = s * ks.reshape(1, bk)
         kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kpos < kv_limit, s, NEG_INF)
         m_prev = m_scr[:]                        # [G, 1]
@@ -190,6 +224,9 @@ def _decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if quantized:
+            vs = (vs_ref[0, 0, 0] if layered else vs_ref[0, 0]).astype(jnp.float32)
+            p = p * vs.reshape(1, bk)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -210,6 +247,8 @@ def flash_decode(
     v: jnp.ndarray,
     kv_limit: jnp.ndarray,     # int32 scalar or [B] — keys < kv_limit valid (per row)
     layer_index: jnp.ndarray | None = None,  # int32 scalar into a 5D cache
+    k_scale: jnp.ndarray | None = None,      # int8 cache: [..., Smax, 1] scales
+    v_scale: jnp.ndarray | None = None,
     *,
     bk: int = 512,
     interpret: bool = False,
@@ -217,6 +256,7 @@ def flash_decode(
     b, hq, sq, d = q.shape
     assert sq == 1
     layered = k.ndim == 5
+    quantized = k_scale is not None
     hk, smax = k.shape[-3], k.shape[-2]
     g = hq // hk
     bk = min(bk, smax)
@@ -236,14 +276,20 @@ def flash_decode(
         return (s_ref[1, bi],) + idx if layered else idx
 
     kv_block = (1, 1, 1, bk, d) if layered else (1, 1, bk, d)
+    sc_block = (1, 1, 1, bk, 1) if layered else (1, 1, bk, 1)
+    in_specs = [
+        pl.BlockSpec((1, 1, g, d), q_map),
+        pl.BlockSpec(kv_block, kv_map),
+        pl.BlockSpec(kv_block, kv_map),
+    ]
+    operands = [qg, k, v]
+    if quantized:
+        in_specs += [pl.BlockSpec(sc_block, kv_map), pl.BlockSpec(sc_block, kv_map)]
+        operands += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hk, nkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, g, d), q_map),
-            pl.BlockSpec(kv_block, kv_map),
-            pl.BlockSpec(kv_block, kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, g, d), q_map),
         scratch_shapes=[
             pltpu.VMEM((g, 1), jnp.float32),
@@ -252,11 +298,11 @@ def flash_decode(
         ],
     )
     kernel = functools.partial(_decode_kernel, bk=bk, scale=scale, nkv=nkv,
-                               layered=layered)
+                               layered=layered, quantized=quantized)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
         interpret=interpret,
-    )(scalars, qg, k, v)
+    )(scalars, *operands)
     return out.reshape(b, hq, 1, d)

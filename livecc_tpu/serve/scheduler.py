@@ -84,16 +84,19 @@ def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
     return run
 
 
-@functools.partial(jax.jit, donate_argnames=("pool_k", "pool_v", "pool_counts", "pool_last"))
-def _insert_slot(pool_k, pool_v, pool_offsets, pool_counts, pool_last,
-                 slot, k, v, offset, counts, last):
-    return (
-        pool_k.at[:, slot].set(k[:, 0]),
-        pool_v.at[:, slot].set(v[:, 0]),
-        pool_offsets.at[slot].set(offset[0]),
-        pool_counts.at[slot].set(counts[0]),
-        pool_last.at[slot].set(last),
+@functools.partial(jax.jit, donate_argnames=("pool_cache", "pool_counts", "pool_last"))
+def _insert_slot(pool_cache, pool_counts, pool_last, slot, cache, counts, last):
+    def put(pool_arr, arr):
+        return None if pool_arr is None else pool_arr.at[:, slot].set(arr[:, 0])
+
+    new_cache = KVCache(
+        put(pool_cache.k, cache.k),
+        put(pool_cache.v, cache.v),
+        pool_cache.offset.at[slot].set(cache.offset[0]),
+        put(pool_cache.k_scale, cache.k_scale),
+        put(pool_cache.v_scale, cache.v_scale),
     )
+    return new_cache, pool_counts.at[slot].set(counts[0]), pool_last.at[slot].set(last)
 
 
 @dataclasses.dataclass
@@ -293,15 +296,10 @@ class StreamServer:
         st = s.init_state
         if st.cache.max_len != self.pool_caches.max_len:
             raise RuntimeError("stream cache grew past the pool size; raise cache_len")
-        k, v, off, counts, last = _insert_slot(
-            self.pool_caches.k, self.pool_caches.v, self.pool_caches.offset,
-            self.pool_counts, self.pool_last,
-            slot, st.cache.k, st.cache.v, st.cache.offset, st.counts,
-            jnp.int32(st.last_token),
+        self.pool_caches, self.pool_counts, self.pool_last = _insert_slot(
+            self.pool_caches, self.pool_counts, self.pool_last,
+            slot, st.cache, st.counts, jnp.int32(st.last_token),
         )
-        self.pool_caches = KVCache(k, v, off)
-        self.pool_counts = counts
-        self.pool_last = last
         s.slot = slot
         s.rope_delta = st.rope_delta
         s.length_ub = st.length

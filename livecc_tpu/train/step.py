@@ -59,25 +59,26 @@ def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
     )
 
 
-def _freeze_labels(params: Params, freeze_modules: tuple[str, ...]) -> Params:
-    def label(path, _):
-        top = str(getattr(path[0], "key", path[0]))
-        return "frozen" if top in freeze_modules else "trainable"
-    return jax.tree_util.tree_map_with_path(label, params)
+def split_frozen(params: Params, freeze_modules: tuple[str, ...]) -> tuple[Params, Params]:
+    """(trainable, frozen) top-level split (train.py:17-19 freezes by module
+    name). Frozen modules carry NO gradient buffers or optimizer state —
+    the DeepSpeed behavior; a full-tree fp32 grad accumulator for the frozen
+    ViT alone costs ~1.4 GB at 2B scale."""
+    trainable = {k: v for k, v in params.items() if k not in freeze_modules}
+    frozen = {k: v for k, v in params.items() if k in freeze_modules}
+    return trainable, frozen
 
 
-def make_optimizer(cfg: TrainConfig, params: Params) -> optax.GradientTransformation:
-    adamw = optax.chain(
+def make_optimizer(cfg: TrainConfig, params: Params | None = None) -> optax.GradientTransformation:
+    """AdamW over the TRAINABLE subtree: init with
+    ``split_frozen(params, cfg.freeze_modules)[0]``."""
+    return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             learning_rate=lr_schedule(cfg),
             b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay,
         ),
-    )
-    return optax.multi_transform(
-        {"trainable": adamw, "frozen": optax.set_to_zero()},
-        _freeze_labels(params, cfg.freeze_modules),
     )
 
 
@@ -112,10 +113,6 @@ class Batch:
 
 def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Mean CE over supervised tokens of one micro-batch. Returns (loss, count)."""
-    params = dict(params)
-    for mod in tcfg.freeze_modules:
-        if mod in params:
-            params[mod] = lax.stop_gradient(params[mod])
     ids, labels, pos, mask = micro.input_ids, micro.labels, micro.position_ids, micro.attention_mask
     vision = None
     if micro.vision_patches is not None:
@@ -151,10 +148,12 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer: optax.Gradie
     """
 
     def step(params: Params, opt_state, batch: Batch):
+        trainable, frozen = split_frozen(params, tcfg.freeze_modules)
+
         def grad_one(micro):
-            def scaled(p):
-                return loss_fn(p, cfg, tcfg, micro)
-            (loss, count), grads = jax.value_and_grad(scaled, has_aux=True)(params)
+            def scaled(tp):
+                return loss_fn({**frozen, **tp}, cfg, tcfg, micro)
+            (loss, count), grads = jax.value_and_grad(scaled, has_aux=True)(trainable)
             return loss, count, grads
 
         def body(carry, micro):
@@ -163,7 +162,7 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer: optax.Gradie
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (loss_acc + loss, count_acc + count, grads_acc), None
 
-        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), trainable)
         (loss_sum, count_sum, grads), _ = lax.scan(
             body, (jnp.float32(0.0), jnp.int32(0), zeros), batch
         )
@@ -172,9 +171,9 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer: optax.Gradie
         # data-sharded; normalize by global token count.
         denom = jnp.maximum(count_sum, 1).astype(jnp.float32)
         grads = jax.tree_util.tree_map(lambda g: (g / denom).astype(jnp.float32), grads)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
         metrics = {"loss": loss_sum / denom, "tokens": count_sum}
-        return params, opt_state, metrics
+        return {**frozen, **trainable}, opt_state, metrics
 
     return step

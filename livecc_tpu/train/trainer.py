@@ -29,7 +29,7 @@ from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.core.mesh import DATA_AXIS
 from livecc_tpu.data.lmm_dataset import LMMDataset
 from livecc_tpu.train.data import collate
-from livecc_tpu.train.step import Batch, TrainConfig, make_optimizer, make_train_step
+from livecc_tpu.train.step import Batch, TrainConfig, make_optimizer, make_train_step, split_frozen
 
 Params = dict[str, Any]
 
@@ -73,7 +73,7 @@ class Trainer:
         if mesh is None:
             self.batch_rows = 1
             self.params = params
-            self.opt_state = self.optimizer.init(params)
+            self.opt_state = self.optimizer.init(split_frozen(params, tcfg.freeze_modules)[0])
             self.step_fn = jax.jit(make_train_step(cfg, tcfg, self.optimizer))
         else:
             from livecc_tpu.parallel.sharding import param_pspecs, shard_params, zero2_pspecs
@@ -81,7 +81,7 @@ class Trainer:
             n_data = mesh.shape[DATA_AXIS]
             self.batch_rows = n_data
             self.params = shard_params(params, mesh)
-            opt_state = self.optimizer.init(self.params)
+            opt_state = self.optimizer.init(split_frozen(self.params, tcfg.freeze_modules)[0])
             self._opt_specs = zero2_pspecs(opt_state, n_data=n_data)
             self.opt_state = jax.tree_util.tree_map(
                 lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),

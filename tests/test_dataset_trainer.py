@@ -155,7 +155,7 @@ def test_image_sample_and_training(corpus, tmp_path):
     from livecc_tpu.data.lmm_dataset import LMMDataset, write_seek_index
     from livecc_tpu.models.qwen2_vl.model import init_params
     from livecc_tpu.train.data import collate
-    from livecc_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+    from livecc_tpu.train.step import TrainConfig, make_optimizer, make_train_step, split_frozen
 
     cfg = tiny_config()
     # write an image file + image conversation row
@@ -194,7 +194,7 @@ def test_image_sample_and_training(corpus, tmp_path):
     opt = make_optimizer(tcfg, params)
     step = jax.jit(make_train_step(cfg, tcfg, opt))
     batch = collate([x, x], cfg)
-    params, _, metrics = step(params, opt.init(params), batch)
+    params, _, metrics = step(params, opt.init(split_frozen(params, tcfg.freeze_modules)[0]), batch)
     assert np.isfinite(float(metrics["loss"]))
 
 

@@ -12,7 +12,7 @@ from livecc_tpu.core.config import tiny_config
 from livecc_tpu.core.mesh import make_mesh
 from livecc_tpu.models.qwen2_vl.model import init_params
 from livecc_tpu.parallel.sharding import param_pspecs, shard_params, zero2_pspecs
-from livecc_tpu.train import Batch, TrainConfig, make_optimizer, make_train_step
+from livecc_tpu.train import Batch, TrainConfig, make_optimizer, make_train_step, split_frozen
 
 
 def text_batch(cfg, accum=1, b=2, s=32, seed=0):
@@ -33,7 +33,7 @@ def test_loss_decreases_and_visual_frozen():
     params = init_params(cfg, jax.random.PRNGKey(0))
     tcfg = TrainConfig(learning_rate=1e-3, total_steps=20)
     opt = make_optimizer(tcfg, params)
-    opt_state = opt.init(params)
+    opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
     step = jax.jit(make_train_step(cfg, tcfg, opt))
     batch = text_batch(cfg)
     visual_before = jax.tree_util.tree_leaves(params["visual"])[0].copy()
@@ -59,7 +59,7 @@ def test_sharded_train_step_8dev():
     opt = make_optimizer(tcfg, params)
 
     params = shard_params(params, mesh)
-    opt_state = opt.init(params)
+    opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
     opt_specs = zero2_pspecs(opt_state, n_data=4)
     opt_state = jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), opt_state, opt_specs
