@@ -55,24 +55,22 @@ def bench_train() -> dict:
     from livecc_tpu.utils.flops import train_step_flops
 
     if on_tpu:
-        # Full 2B layer widths, LLM depth 14 of 28: full-depth 2B training
+        # Full 2B layer widths, depth-reduced LLM: full-depth 2B training
         # state (bf16 params + fp32 grads + Adam moments) exceeds one 16 GiB
         # chip — by the same arithmetic as parallel/memory.py, training runs
         # ZeRO-2 over the data axis. Per-layer shapes (and therefore MFU)
-        # are identical at any depth; tokens/s for full depth = this / 2.
+        # are identical at any depth; full-depth tokens/s = this * depth/28.
         full = ModelConfig.qwen2_vl_2b()
-        depth = int(os.environ.get("BENCH_TRAIN_DEPTH", 12))
+        depth = int(os.environ.get("BENCH_TRAIN_DEPTH", 14))
         cfg = dataclasses.replace(
             full,
             vision=dataclasses.replace(full.vision, depth=16),
             text=dataclasses.replace(full.text, num_hidden_layers=depth),
             name=f"{full.name}-d{depth}",
         )
-        # seq 4096: the XLA attention backward materializes ~3x [S, S] f32
-        # per layer even under remat (~10 GB at 8k) — a flash train kernel
-        # would lift this; 4k is the largest bucket that fits beside the
-        # optimizer state today.
-        accum, seq = 4, 4096
+        # flash training attention (Pallas fwd+bwd) materializes no [S, S]
+        # tensors; the XLA fallback capped this bench at seq 4096.
+        accum, seq = 4, int(os.environ.get("BENCH_TRAIN_SEQ", 8192))
         grid = (24, 16, 34)       # ~48 s of 2-fps video -> 3264 video tokens
         n_steps = 3
     else:

@@ -146,8 +146,9 @@ def text_forward(
     sin = sin.astype(inputs_embeds.dtype)
 
     flash = use_flash and cache is not None
+    flash_train = use_flash and cache is None   # Pallas fwd+bwd kernel
     mask = None
-    if not flash:
+    if not flash and not flash_train:
         if cache is not None:
             mask = kv_cache_mask(s, cache.max_len, cache.offset)   # [B,1,S,Smax]
         else:
@@ -230,8 +231,14 @@ def text_forward(
         new_cache = KVCache(new_k, new_v, cache.offset + s,
                             *(new_scales if quant else (None, None)))
     else:
+        if flash_train:
+            from livecc_tpu.ops.attention import train_flash_attention
+            attend = lambda q, k, v: train_flash_attention(q, k, v, attention_mask)
+        else:
+            attend = lambda q, k, v: mha(q, k, v, mask=mask)
+
         def block(x, layer):
-            return attn_mlp(x, layer, lambda q, k, v: mha(q, k, v, mask=mask)), None
+            return attn_mlp(x, layer, attend), None
 
         if remat:
             block = jax.checkpoint(block, policy=jax.checkpoint_policies.nothing_saveable)

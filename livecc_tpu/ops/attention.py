@@ -20,6 +20,40 @@ import jax.numpy as jnp
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def train_flash_attention(
+    q: jnp.ndarray,                 # [B, Sq, Hq, D]
+    k: jnp.ndarray,                 # [B, Skv, Hk, D]
+    v: jnp.ndarray,                 # [B, Skv, Hk, D]
+    attention_mask: jnp.ndarray | None = None,  # bool [B, Skv]; True = valid
+    causal: bool = True,
+) -> jnp.ndarray:
+    """TRAINING attention on TPU: Pallas flash kernel with a backward pass
+    (jax.experimental.pallas.ops.tpu.flash_attention) — no [S, S]
+    probabilities ever materialize, forward or backward. GQA via KV-head
+    repetition; right-padding is isolated with segment ids (pad tokens
+    attend only among themselves; their loss is label-masked).
+
+    Same [B, S, H, D] layout/contract as ``mha`` (the CPU/test reference).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention as _flash,
+    )
+
+    b, sq, hq, d = q.shape
+    hk = k.shape[2]
+    if hq != hk:
+        rep = hq // hk
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    seg = None
+    if attention_mask is not None:
+        ids = attention_mask.astype(jnp.int32)
+        seg = SegmentIds(q=ids, kv=ids)
+    out = _flash(qt, kt, vt, segment_ids=seg, causal=causal, sm_scale=d ** -0.5)
+    return jnp.swapaxes(out, 1, 2)
+
+
 def mha(
     q: jnp.ndarray,                 # [B, Sq, Hq, D]
     k: jnp.ndarray,                 # [B, Skv, Hk, D]

@@ -382,15 +382,20 @@ class StreamServer:
         groups: dict[tuple, list[dict]] = {}
         for p in preps:
             groups.setdefault(p["grid"], []).append(p)
+        # dispatch FIRST (async device work), join the previous collector
+        # only afterwards — joining first would serialize tick N behind
+        # tick N-1's host-side drain and cost ~50 ms/tick of pipelining.
+        entries = [self._dispatch(grid, group_preps)
+                   for grid, group_preps in groups.items()]
         self._join_collector()
-        for grid, group_preps in groups.items():
-            self._dispatch(grid, group_preps)
+        with self._lock:
+            self._inflight.extend(entries)
         # background collector surfaces results the moment the device
         # finishes, while the main thread prepares the next tick
         self._collector = threading.Thread(target=self._collect, daemon=True)
         self._collector.start()
 
-    def _dispatch(self, grid: tuple, preps: list[dict]) -> None:
+    def _dispatch(self, grid: tuple, preps: list[dict]) -> tuple:
         """One batched prefill+decode over the pool for one resolution class."""
         engine = self.engine
         c = self.capacity
@@ -431,5 +436,4 @@ class StreamServer:
             self.pool_counts, self.pool_last, jnp.asarray(deltas),
             jnp.asarray(active), sub, group=vis0.group,
         )
-        with self._lock:
-            self._inflight.append((tokens, n_gen, slot_map, time.perf_counter()))
+        return (tokens, n_gen, slot_map, time.perf_counter())

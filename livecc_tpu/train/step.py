@@ -46,6 +46,8 @@ class TrainConfig:
     ce_chunk_size: int = 1024
     # per-layer rematerialization (the reference's --gradient_checkpointing)
     remat: bool = True
+    # Pallas flash attention with backward in the LLM (None = auto on TPU)
+    use_flash: Optional[bool] = None
 
 
 def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -111,7 +113,8 @@ class Batch:
     image_group: Optional[int] = dataclasses.field(default=None, metadata=dict(static=True))
 
 
-def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro) -> tuple[jnp.ndarray, jnp.ndarray]:
+def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
+            use_flash: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Mean CE over supervised tokens of one micro-batch. Returns (loss, count)."""
     ids, labels, pos, mask = micro.input_ids, micro.labels, micro.position_ids, micro.attention_mask
     vision = None
@@ -126,7 +129,7 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro) -> tuple
     hidden, _ = forward(params, cfg, ids, pos, vision=vision,
                         vision_images=vision_images,
                         attention_mask=mask, compute_logits=False,
-                        remat=tcfg.remat)
+                        remat=tcfg.remat, use_flash=use_flash)
     if cfg.text.tie_word_embeddings:
         kernel = params["text"]["embed"]["weight"].T
     else:
@@ -147,12 +150,14 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer: optax.Gradie
     accumulation window (HF Trainer semantics).
     """
 
+    use_flash = (jax.default_backend() == "tpu") if tcfg.use_flash is None else tcfg.use_flash
+
     def step(params: Params, opt_state, batch: Batch):
         trainable, frozen = split_frozen(params, tcfg.freeze_modules)
 
         def grad_one(micro):
             def scaled(tp):
-                return loss_fn({**frozen, **tp}, cfg, tcfg, micro)
+                return loss_fn({**frozen, **tp}, cfg, tcfg, micro, use_flash=use_flash)
             (loss, count), grads = jax.value_and_grad(scaled, has_aux=True)(trainable)
             return loss, count, grads
 
