@@ -197,14 +197,24 @@ def bench_serving() -> dict:
 
     # Timed phase: pipelined server — tick N's text is drained while tick
     # N+1 computes. Latency per chunk = submit -> drained; throughput =
-    # chunks / wall.
+    # chunks / wall. By default submissions are PACED at the real-time
+    # cadence (one 2-frame chunk per second per stream, the product's
+    # arrival pattern) so latency measures service time, not queueing;
+    # BENCH_PACE=0 switches to back-to-back saturation (capacity probing —
+    # then latency ~= 2x tick wall by Little's law).
     import sys
 
+    pace = float(os.environ.get("BENCH_PACE", 1.0 if on_tpu else 0.0))
     submit_times: dict[float, float] = {}
     latencies: list[float] = []
     tick_wall: list[float] = []
     wall0 = time.perf_counter()
     for i in range(n_ticks + 1):          # +1 flush tick to drain the last batch
+        if pace:
+            target = wall0 + i * pace
+            now = time.perf_counter()
+            if now < target:
+                time.sleep(target - now)
         if i < n_ticks:
             for sid in sids:
                 server.submit_chunk(sid, frames(2), t, t + 1.0)
@@ -236,6 +246,7 @@ def bench_serving() -> dict:
             "p50_tick_wall_s": round(float(np.percentile(tick_wall, 50)), 4),
             "throughput_chunks_per_s": round(throughput, 2),
             "streams": N_STREAMS,
+            "pace_s": pace,
             "engine_metrics": engine.metrics.summary(),
         },
     }
