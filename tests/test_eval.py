@@ -181,6 +181,39 @@ def test_livesports_cc_generation_and_judge(setup, tmp_path):
     assert rate == 1.0
 
 
+def test_eval_cli_videomme_and_cc(setup, tmp_path):
+    """The per-benchmark CLI (reference: torchrun scripts) end to end with
+    the tiny random model."""
+    from livecc_tpu.eval import cli as ecli
+
+    predictor, vids, root = setup
+    rows = [
+        {"video": vids[i % 2], "question": f"q{i}", "options": ["A. a", "B. b", "C. c", "D. d"],
+         "answer": "A", "duration": "short", "domain": "Sports Competition",
+         "sub_category": "Basketball", "task_type": "Action Recognition",
+         "video_id": f"v{i}", "question_id": str(i)}
+        for i in range(2)
+    ]
+    bench = str(tmp_path / "vm.jsonl")
+    with open(bench, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    report = ecli.main(["videomme", "--benchmark", bench,
+                        "--output_dir", str(tmp_path / "vm_out"), "--max_frames", "4"])
+    assert report and "overall" in report
+
+    events = [{"video_id": "v0", "event_id": "e0", "begin": 0.0, "end": 2.0,
+               "title": "Game", "preASR": "so far...", "video": vids[0]}]
+    epath = str(tmp_path / "events.jsonl")
+    with open(epath, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    merged = ecli.main(["livesports3kcc", "--events", epath,
+                        "--output_dir", str(tmp_path / "cc_out"),
+                        "--max_new_tokens", "4"])
+    assert merged and os.path.exists(merged)
+
+
 def test_prompt_and_join():
     q = livesports3kcc.build_commentary_query("Match", "he shoots", instruct=True)
     assert "Match" in q and "he shoots" in q and "commentator" in q
