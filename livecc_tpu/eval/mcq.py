@@ -21,6 +21,8 @@ import dataclasses
 import functools
 from typing import Any, Optional, Sequence
 
+import os
+
 import numpy as np
 
 import jax
@@ -130,7 +132,6 @@ class MCQPredictor:
         is inflated (:49-56) so sampling never collapses to zero — indices
         then repeat over the real frames.
         """
-        import os
         if os.path.isdir(item.video):
             return self._read_frame_dir(item.video)
         reader = self.video_loader(item.video)
@@ -165,7 +166,6 @@ class MCQPredictor:
         """Frame-directory items (MVBench tvqa: per-frame images sampled with
         smart_nframes then resized — reference
         evaluation/mvbench/distributed_evaluate_mvbench.py:44-51)."""
-        import os
         from PIL import Image
 
         files = sorted(

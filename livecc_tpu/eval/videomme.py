@@ -225,7 +225,7 @@ def official_report(
         section("Overall Performance", [("Overall", total_c, total_a)])
         lines.extend(["", ""])  # the scorer's print("\n") spacer
 
-    def across(kind: str, key: str) -> list[tuple[str, int, int]]:
+    def across(kind: str) -> list[tuple[str, int, int]]:
         keys = {"cat": CATEGORIES, "sub": SUB_CATEGORIES, "task": TASK_CATEGORIES}[kind]
         return [
             (k,
@@ -235,9 +235,9 @@ def official_report(
         ]
 
     lines.extend([eq, "Evaluation on the entire dataset", eq])
-    section("Video Domains", across("cat", "domain"))
-    section("Video Sub Categories", across("sub", "sub_category"))
-    section("Task Categories", across("task", "task_type"))
+    section("Video Domains", across("cat"))
+    section("Video Sub Categories", across("sub"))
+    section("Task Categories", across("task"))
     total_c = sum(tables[vt]["task"][q][0] for vt in video_types for q in TASK_CATEGORIES)
     total_a = sum(tables[vt]["task"][q][1] for vt in video_types for q in TASK_CATEGORIES)
     section("Overall Performance", [("Overall", total_c, total_a)])

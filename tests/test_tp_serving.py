@@ -36,6 +36,41 @@ def frames(seed, n=2):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_sharded_pool_server_matches():
+    """The 7B serving topology end to end: the POOL server (continuous
+    batching, fused pool step) over TP-sharded params produces outputs
+    token-identical to the unsharded pool server."""
+    from livecc_tpu.serve.scheduler import StreamServer
+
+    g = np.load(GOLDEN)
+    cfg = tiny_config()
+    state = {k[len("state::"):]: g[k] for k in g.files if k.startswith("state::")}
+    params = m.convert_state_dict(state, cfg)
+
+    def drive(srv):
+        s0 = srv.add_stream((28, 28), query="q")
+        s1 = srv.add_stream((28, 28), query="w")
+        srv.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+        srv.submit_chunk(s1, frames(9, 6), 0.0, 3.0)
+        srv.tick()
+        srv.submit_chunk(s0, frames(1), 3.0, 4.0)
+        srv.submit_chunk(s1, frames(8), 3.0, 4.0)
+        srv.tick()
+        srv.flush()
+        return [[t for _, t in srv.drain(s)] for s in (s0, s1)]
+
+    gen = GenerationParams(max_new_tokens=4, eos_token_id=cfg.eos_token_id,
+                           pad_token_id=cfg.pad_token_id)
+    ref = drive(StreamServer(build(params), gen, capacity=2))
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=jax.devices()[:8])
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        out = drive(StreamServer(build(sharded), gen, capacity=2))
+    assert out == ref
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_tp_sharded_generation_matches():
     g = np.load(GOLDEN)
     cfg = tiny_config()
