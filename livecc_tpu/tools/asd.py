@@ -31,7 +31,8 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     wh = np.maximum(rb - lt, 0)
     inter = wh[..., 0] * wh[..., 1]
     union = area_a[:, None] + area_b[None, :] - inter
-    return np.where(union > 0, inter / union, 0.0)
+    return np.divide(inter, union, out=np.zeros_like(inter, dtype=np.float64),
+                     where=union > 0)
 
 
 def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.4) -> np.ndarray:

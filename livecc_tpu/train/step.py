@@ -44,6 +44,16 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     freeze_modules: tuple[str, ...] = ("visual",)
     ce_chunk_size: int = 1024
+    # Static cap on supervised positions per micro-batch: when set, the CE
+    # gathers ONLY supervised (label != -100) positions into a [ce_sup_bucket]
+    # buffer before the vocab projection, so the 152k-vocab matmul runs over
+    # supervised tokens instead of the whole sequence. In the streaming
+    # corpus most tokens are video/user context (data/lmm_dataset.py:184-191
+    # masks everything outside assistant spans) — at 8k-token sequences with
+    # ~40% supervision this cuts CE FLOPs ~2.4x (fwd+bwd+remat recompute).
+    # The caller MUST size the bucket >= the bucket's max supervised count
+    # (the collator knows it); overflow positions are dropped from the loss.
+    ce_sup_bucket: Optional[int] = None
     # per-layer rematerialization (the reference's --gradient_checkpointing)
     remat: bool = True
     # Pallas flash attention with backward in the LLM (None = auto on TPU)
@@ -138,7 +148,20 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
     shifted = jnp.concatenate(
         [labels[:, 1:], jnp.full_like(labels[:, :1], -100)], axis=1
     )
-    loss, count = chunked_cross_entropy(hidden, kernel, shifted, chunk_size=tcfg.ce_chunk_size)
+    if tcfg.ce_sup_bucket:
+        kb = tcfg.ce_sup_bucket
+        b, s, h = hidden.shape
+        flat_h = hidden.reshape(b * s, h)
+        flat_l = shifted.reshape(b * s)
+        sup = flat_l != -100
+        idx = jnp.nonzero(sup, size=kb, fill_value=0)[0]        # static size
+        lab = jnp.where(jnp.arange(kb) < jnp.sum(sup), flat_l[idx], -100)
+        loss, count = chunked_cross_entropy(
+            flat_h[idx][None], kernel, lab[None],
+            chunk_size=min(tcfg.ce_chunk_size, kb),
+        )
+    else:
+        loss, count = chunked_cross_entropy(hidden, kernel, shifted, chunk_size=tcfg.ce_chunk_size)
     return loss, count
 
 

@@ -137,3 +137,75 @@ def test_lightasd_scores():
     assert logits.shape == (1, 12) and np.isfinite(np.asarray(logits)).all()
     p = track_score(params, faces[0], feats)
     assert 0.0 <= p <= 1.0
+
+
+def test_scrfd_shapes_and_decode(tmp_path):
+    """SCRFD forward emits per-stride anchor grids; decode matches the
+    reference's center -+ distance*stride construction (face_detector.py:52-55)."""
+    import jax
+    from livecc_tpu.tools import scrfd
+
+    cfg = scrfd.ScrfdConfig(score_threshold=0.0)
+    params = scrfd.init_scrfd_params(cfg, jax.random.PRNGKey(0))
+    h, w = 160, 288                      # reference detection resolution
+    frames = np.random.RandomState(0).randint(0, 255, (2, h, w, 3), np.uint8)
+    outs = scrfd.scrfd_forward(params, cfg, frames)
+    assert len(outs) == len(cfg.strides)
+    for (score, bbox), stride in zip(outs, cfg.strides):
+        n = (h // stride) * (w // stride) * cfg.num_anchors
+        assert score.shape == (2, n) and bbox.shape == (2, n, 4)
+        assert float(np.min(np.asarray(score))) >= 0.0
+        assert float(np.max(np.asarray(score))) <= 1.0
+
+    # decode: a hand-built single detection at a known anchor
+    level_outputs = []
+    for (score, bbox), stride in zip(outs, cfg.strides):
+        s = np.zeros(score.shape[1], np.float32)
+        b = np.zeros((score.shape[1], 4), np.float32)
+        level_outputs.append((s, b))
+    # put one hit on stride-8 anchor index 5 with distances (1, 2, 3, 4)
+    level_outputs[0][0][5] = 0.9
+    level_outputs[0][1][5] = [1, 2, 3, 4]
+    cfg_t = scrfd.ScrfdConfig(score_threshold=0.5)
+    boxes, scores = scrfd.decode_detections(cfg_t, level_outputs, h, w)
+    centers = scrfd.anchor_centers(h, w, 8, cfg.num_anchors)
+    cx, cy = centers[5]
+    assert boxes.shape == (1, 4) and scores.shape == (1,)
+    np.testing.assert_allclose(
+        boxes[0], [cx - 8, cy - 16, cx + 24, cy + 32], atol=1e-5
+    )
+
+    # anchor construction parity with the reference formula
+    ref = np.stack(np.mgrid[: h // 16, : w // 16][::-1], axis=-1).astype(np.float32)
+    ref = (ref * 16).reshape(-1, 2)
+    ref = np.stack([ref] * cfg.num_anchors, axis=1).reshape(-1, 2)
+    np.testing.assert_array_equal(scrfd.anchor_centers(h, w, 16, cfg.num_anchors), ref)
+
+
+def test_scrfd_detector_pipeline_roundtrip(tmp_path):
+    """make_detector feeds talking_ratio end-to-end; weights round-trip npz."""
+    import jax
+    from livecc_tpu.tools import scrfd
+
+    cfg = scrfd.ScrfdConfig(score_threshold=0.0, nms_threshold=0.4)
+    params = scrfd.init_scrfd_params(cfg, jax.random.PRNGKey(1))
+    path = str(tmp_path / "scrfd.npz")
+    scrfd.save_npz(path, params)
+    loaded = scrfd.load_npz(path, cfg)
+    for (ka, va), (kb, vb) in zip(scrfd._iter_leaves(params), scrfd._iter_leaves(loaded)):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    detect = scrfd.make_detector(loaded, cfg)
+    frames = np.random.RandomState(2).randint(0, 255, (6, 64, 96, 3), np.uint8)
+    boxes, scores = detect(frames[0])
+    assert boxes.ndim == 2 and boxes.shape[1] == 4 and len(boxes) == len(scores)
+    # threshold 0 keeps everything pre-NMS; NMS must have pruned overlaps
+    total = sum((64 // s) * (96 // s) * cfg.num_anchors for s in cfg.strides)
+    assert 0 < len(boxes) <= total
+
+    ratio = asd.talking_ratio(
+        frames, detect, score_track=lambda track, fr: 0.0,
+        window=3, stride=3, min_track_len=1,
+    )
+    assert ratio == 0.0

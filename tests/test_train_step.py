@@ -82,3 +82,32 @@ def test_sharded_train_step_8dev():
     # params keep their TP sharding after the update (ZeRO-2: replicated on data)
     q = params2["text"]["layers"]["q_kernel"]
     assert q.sharding.spec == param_pspecs(params2)["text"]["layers"]["q_kernel"]
+
+
+def test_ce_sup_bucket_matches_full():
+    """Gather-compacted CE (ce_sup_bucket) reproduces the full-sequence loss
+    and gradients when the bucket covers all supervised positions."""
+    from livecc_tpu.train.step import loss_fn
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batch = text_batch(cfg, accum=1, b=2, s=32)
+    micro = jax.tree_util.tree_map(lambda x: x[0], batch)
+
+    def run(tcfg):
+        def f(p):
+            loss, count = loss_fn(p, cfg, tcfg, micro)
+            return loss / jnp.maximum(count, 1)
+        val, grads = jax.value_and_grad(f)(params)
+        return val, grads
+
+    full_val, full_grads = run(TrainConfig(total_steps=10, ce_chunk_size=16))
+    # bucket 32 >= 2*16 supervised positions
+    comp_val, comp_grads = run(TrainConfig(total_steps=10, ce_chunk_size=16, ce_sup_bucket=32))
+    np.testing.assert_allclose(float(full_val), float(comp_val), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(full_grads), jax.tree_util.tree_leaves(comp_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-6)
+
+    # undersized bucket drops positions but stays finite and well-defined
+    s_val, _ = run(TrainConfig(total_steps=10, ce_chunk_size=16, ce_sup_bucket=8))
+    assert np.isfinite(float(s_val))
