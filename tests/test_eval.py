@@ -246,3 +246,33 @@ def test_mcq_batched_forward_matches_single(setup):
     single = predictor.predict(items, batch_size=1)
     batched = predictor.predict(items, batch_size=2)
     assert batched == single
+
+
+def test_livesports3kqa_roundtrip(setup, tmp_path):
+    """C15: QA harness end-to-end — sharded predict, merge, per-q_type + OCR
+    report (reference distributed_evaluate_livesports3kqa.py:7-28)."""
+    from livecc_tpu.eval import livesports3kqa
+
+    predictor, vids, _ = setup
+    bench = str(tmp_path / "ls3kqa.jsonl")
+    rows = [
+        {"video": vids[i % 2], "question": f"q{i}",
+         "options": ["A. a", "B. b", "C. c", "D. d"], "answer": "A",
+         "q_type": ["Event", "Entity"][i % 2], "ocr": i % 3 == 0,
+         "begin": 0.0, "end": 2.0}
+        for i in range(4)
+    ]
+    with open(bench, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "out")
+    # worker 1 first: partial shards return None (resume semantics)
+    assert livesports3kqa.run(predictor, bench, out, worker=1, num_workers=2) is None
+    report = livesports3kqa.run(predictor, bench, out, worker=0, num_workers=2)
+    assert report is not None
+    assert set(report["q_type"]) == {"Event", "Entity"}
+    assert report["n"] == 4 and 0.0 <= report["overall"] <= 100.0
+    assert 0.0 <= report["ocr_subset"] <= 100.0
+    # idempotent resume: rerun merges existing shards without predicting
+    report2 = livesports3kqa.run(predictor, bench, out, worker=0, num_workers=2)
+    assert report2 == report
