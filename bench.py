@@ -82,7 +82,10 @@ def bench_train() -> dict:
     n_patches = grid[0] * grid[1] * grid[2]
     n_vid = n_patches // 4
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    tcfg = TrainConfig(total_steps=1000, ce_chunk_size=1024 if on_tpu else 128)
+    # CE runs only over supervised positions (gather-compacted): the bucket
+    # covers the post-video span with one chunk of headroom.
+    tcfg = TrainConfig(total_steps=1000, ce_chunk_size=1024 if on_tpu else 128,
+                       ce_sup_bucket=5120 if on_tpu else None)
     opt = make_optimizer(tcfg, params)
     opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
 

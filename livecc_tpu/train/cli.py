@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("--save_steps", type=int, default=1000)
     parser.add_argument("--log_steps", type=int, default=10)
     parser.add_argument("--freeze_modules", nargs="*", default=["visual"])
+    parser.add_argument("--ce_sup_bucket", type=int, default=None,
+                        help="static cap on supervised tokens per micro-batch; "
+                             "compacts the 152k-vocab CE to supervised "
+                             "positions only (see TrainConfig.ce_sup_bucket)")
     parser.add_argument("--with_context", action="store_true")
     parser.add_argument("--overwrite_output_dir", action="store_true",
                         help="start fresh instead of resuming (train.py:29)")
@@ -68,6 +72,7 @@ def main(argv=None):
         warmup_ratio=args.warmup_ratio,
         total_steps=args.total_steps,
         freeze_modules=tuple(args.freeze_modules),
+        ce_sup_bucket=args.ce_sup_bucket,
     )
     run = TrainerConfig(
         output_dir=args.output_dir,
