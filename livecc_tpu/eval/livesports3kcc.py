@@ -143,3 +143,24 @@ def win_rate(
         wins += judge_pair(llm, ground_truth[event_id], pred, baseline[event_id])
         total += 2
     return wins / total if total else 0.0
+
+
+def tally_win_rate(records: Sequence[dict], model_id: str) -> float:
+    """Win rate (percent) from recorded per-event winner rows — the exact
+    tally of reference llm_judge.py:108-117: each row carries ``ab_winner``
+    and ``ba_winner`` (the judged winner under both orderings); every row
+    contributes 2 comparisons."""
+    win_count = count = 0
+    for row in records:
+        if row["ab_winner"] == model_id:
+            win_count += 1
+        if row["ba_winner"] == model_id:
+            win_count += 1
+        count += 2
+    return win_count / count * 100 if count else 0.0
+
+
+def win_rate_log_line(records: Sequence[dict], model_id: str, baseline_id: str) -> str:
+    """The reference's judges/log.txt line format (llm_judge.py:118-120)."""
+    rate = tally_win_rate(records, model_id)
+    return f"Winning Rate for {model_id} vs. {baseline_id}: {rate:.2f}%"
