@@ -120,14 +120,18 @@ class LiveCCEngine:
         while off + needed > new_cap:
             new_cap *= 2
 
-        def grow(arr):
+        def grow(arr, dim=3):
+            # dim 3 = positions for k/v [L,B,Hk,Smax,D]; lane-major scales
+            # [L,B,Hk,1,Smax] keep positions on the last axis.
             if arr is None:
                 return None
-            out = jnp.zeros(arr.shape[:3] + (new_cap,) + arr.shape[4:], arr.dtype)
+            shape = list(arr.shape)
+            shape[dim] = new_cap
+            out = jnp.zeros(tuple(shape), arr.dtype)
             return jax.lax.dynamic_update_slice(out, arr, (0,) * arr.ndim)
 
         state.cache = KVCache(grow(state.cache.k), grow(state.cache.v), state.cache.offset,
-                              grow(state.cache.k_scale), grow(state.cache.v_scale))
+                              grow(state.cache.k_scale, 4), grow(state.cache.v_scale, 4))
 
     # ------------------------------------------------------------------
     # one chunk: text+frames -> generated words

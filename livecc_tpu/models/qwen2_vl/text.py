@@ -37,14 +37,18 @@ class KVCache:
     batching substrate (serve/).
 
     ``dtype=jnp.int8`` stores a QUANTIZED cache: symmetric per-(position,
-    head) int8 with bf16 scales ([L, B, Hk, Smax, 1]) — halves KV HBM vs
-    bf16, tripling stream capacity at a ~0.4% dequantization error (keys
-    scale attention scores per column; values scale the probe weights)."""
+    head) int8 with bf16 scales — halves KV HBM vs bf16, tripling stream
+    capacity at a ~0.4% dequantization error (keys scale attention scores
+    per column; values scale the probe weights). Scales are LANE-MAJOR
+    ([L, B, Hk, 1, Smax]): positions ride the TPU lane dimension, so the
+    Pallas kernels tile them as ordinary [1, bk] blocks — a [bk, 1] layout
+    (positions in sublanes) is a degenerate tile that Mosaic compiles
+    pathologically slowly (~350 s vs ~25 s for the pool program)."""
 
     k: jnp.ndarray         # [L, B, Hk, Smax, D]
     v: jnp.ndarray         # [L, B, Hk, Smax, D]
     offset: jnp.ndarray    # int32 [B]
-    k_scale: Optional[jnp.ndarray] = None   # [L, B, Hk, Smax, 1] bf16 (int8 cache)
+    k_scale: Optional[jnp.ndarray] = None   # [L, B, Hk, 1, Smax] bf16 (int8 cache)
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -60,7 +64,7 @@ class KVCache:
         shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
         offset = jnp.zeros((batch,), jnp.int32)
         if dtype == jnp.int8:
-            sshape = shape[:-1] + (1,)
+            sshape = shape[:-2] + (1, max_len)
             return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), offset,
                            jnp.zeros(sshape, jnp.bfloat16), jnp.zeros(sshape, jnp.bfloat16))
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), offset)
@@ -114,6 +118,20 @@ def _write_kv(cache_all: jnp.ndarray, li: jnp.ndarray, kt: jnp.ndarray,
             cache_all, kt[i][None, None], (li, i, 0, offsets[i], 0)
         )
     return cache_all
+
+
+def _write_scale(scale_all: jnp.ndarray, li: jnp.ndarray, st: jnp.ndarray,
+                 offsets: jnp.ndarray) -> jnp.ndarray:
+    """Write [B, Hk, 1, s] lane-major scales at per-row depths into the
+    [L, B, Hk, 1, Smax] scale cache (positions live on the LAST axis)."""
+    b = st.shape[0]
+    if b == 1:
+        return lax.dynamic_update_slice(scale_all, st[None], (li, 0, 0, 0, offsets[0]))
+    for i in range(b):
+        scale_all = lax.dynamic_update_slice(
+            scale_all, st[i][None, None], (li, i, 0, 0, offsets[i])
+        )
+    return scale_all
 
 
 def text_forward(
@@ -188,8 +206,11 @@ def text_forward(
                     cks, cvs = scales
                     kt, ks = quantize_kv(kt)
                     vt, vs = quantize_kv(vt)
-                    new_scales = (_write_kv(cks, li, ks, cache.offset),
-                                  _write_kv(cvs, li, vs, cache.offset))
+                    # [B, Hk, s, 1] -> lane-major [B, Hk, 1, s]
+                    ks = jnp.swapaxes(ks, -1, -2)
+                    vs = jnp.swapaxes(vs, -1, -2)
+                    new_scales = (_write_scale(cks, li, ks, cache.offset),
+                                  _write_scale(cvs, li, vs, cache.offset))
                 else:
                     kt = kt.astype(ck_all.dtype)
                     vt = vt.astype(cv_all.dtype)
@@ -213,8 +234,13 @@ def text_forward(
                     ck = ck.astype(q.dtype)
                     cv = cv.astype(q.dtype)
                     if quant:
-                        ck = ck * lax.dynamic_index_in_dim(ksc, li, 0, keepdims=False).astype(q.dtype)
-                        cv = cv * lax.dynamic_index_in_dim(vsc, li, 0, keepdims=False).astype(q.dtype)
+                        # lane-major [B, Hk, 1, Smax] -> per-position [B, Hk, Smax, 1]
+                        ck = ck * jnp.swapaxes(
+                            lax.dynamic_index_in_dim(ksc, li, 0, keepdims=False), -1, -2
+                        ).astype(q.dtype)
+                        cv = cv * jnp.swapaxes(
+                            lax.dynamic_index_in_dim(vsc, li, 0, keepdims=False), -1, -2
+                        ).astype(q.dtype)
                     attn = mha_bhsd(qt, ck, cv, mask=mask)
                 attend.updated = (nonlocal_k, nonlocal_v, new_scales)
                 return jnp.swapaxes(attn, 1, 2)               # [B, s, Hq, D]

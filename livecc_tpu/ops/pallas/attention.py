@@ -82,7 +82,8 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, *rest,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                # [bq, bk]
         if quantized:
-            ks = (ks_ref[0, 0, 0] if layered else ks_ref[0, 0]).astype(jnp.float32)
+            # lane-major scales: block [.., 1, bk] -> [bk] along lanes
+            ks = (ks_ref[0, 0, 0, 0] if layered else ks_ref[0, 0, 0]).astype(jnp.float32)
             s = s * ks.reshape(1, bk)            # per-key dequant of scores
         qpos = offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -94,7 +95,7 @@ def _prefill_kernel(s_ref, q_ref, k_ref, v_ref, *rest,
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         if quantized:
-            vs = (vs_ref[0, 0, 0] if layered else vs_ref[0, 0]).astype(jnp.float32)
+            vs = (vs_ref[0, 0, 0, 0] if layered else vs_ref[0, 0, 0]).astype(jnp.float32)
             p = p * vs.reshape(1, bk)            # fold v's dequant into probes
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -117,7 +118,7 @@ def flash_prefill(
     offset: jnp.ndarray,       # int32 scalar or [B] — queries start here (per row)
     kv_limit: jnp.ndarray,     # int32 scalar or [B] — keys < kv_limit valid (per row)
     layer_index: jnp.ndarray | None = None,  # int32 scalar into a 5D cache
-    k_scale: jnp.ndarray | None = None,      # int8 cache: [..., Smax, 1] scales
+    k_scale: jnp.ndarray | None = None,      # int8 cache: [..., 1, Smax] lane-major scales
     v_scale: jnp.ndarray | None = None,
     *,
     bq: int = 128,
@@ -150,8 +151,17 @@ def flash_prefill(
         idx = (bi, h // g, jnp.minimum(j, last_needed), 0)
         return (s_ref[2, bi],) + idx if layered else idx
 
+    def sc_map(bi, h, iq, j, s_ref):
+        # Same frontier clamp as kv_map, but positions ride the LAST axis.
+        q_hi = s_ref[0, bi] + iq * bq + bq - 1
+        last_needed = jnp.minimum(
+            jnp.maximum(jnp.minimum(q_hi, s_ref[1, bi] - 1), 0) // bk, nkv - 1
+        )
+        idx = (bi, h // g, 0, jnp.minimum(j, last_needed))
+        return (s_ref[2, bi],) + idx if layered else idx
+
     kv_block = (1, 1, 1, bk, d) if layered else (1, 1, bk, d)
-    sc_block = (1, 1, 1, bk, 1) if layered else (1, 1, bk, 1)
+    sc_block = (1, 1, 1, 1, bk) if layered else (1, 1, 1, bk)
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_map),
         pl.BlockSpec(kv_block, kv_map),
@@ -159,7 +169,7 @@ def flash_prefill(
     ]
     operands = [q, k, v]
     if quantized:
-        in_specs += [pl.BlockSpec(sc_block, kv_map), pl.BlockSpec(sc_block, kv_map)]
+        in_specs += [pl.BlockSpec(sc_block, sc_map), pl.BlockSpec(sc_block, sc_map)]
         operands += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -215,7 +225,7 @@ def _decode_kernel(s_ref, q_ref, k_ref, v_ref, *rest,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                # [G, bk]
         if quantized:
-            ks = (ks_ref[0, 0, 0] if layered else ks_ref[0, 0]).astype(jnp.float32)
+            ks = (ks_ref[0, 0, 0, 0] if layered else ks_ref[0, 0, 0]).astype(jnp.float32)
             s = s * ks.reshape(1, bk)
         kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kpos < kv_limit, s, NEG_INF)
@@ -225,7 +235,7 @@ def _decode_kernel(s_ref, q_ref, k_ref, v_ref, *rest,
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         if quantized:
-            vs = (vs_ref[0, 0, 0] if layered else vs_ref[0, 0]).astype(jnp.float32)
+            vs = (vs_ref[0, 0, 0, 0] if layered else vs_ref[0, 0, 0]).astype(jnp.float32)
             p = p * vs.reshape(1, bk)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -247,7 +257,7 @@ def flash_decode(
     v: jnp.ndarray,
     kv_limit: jnp.ndarray,     # int32 scalar or [B] — keys < kv_limit valid (per row)
     layer_index: jnp.ndarray | None = None,  # int32 scalar into a 5D cache
-    k_scale: jnp.ndarray | None = None,      # int8 cache: [..., Smax, 1] scales
+    k_scale: jnp.ndarray | None = None,      # int8 cache: [..., 1, Smax] lane-major scales
     v_scale: jnp.ndarray | None = None,
     *,
     bk: int = 512,
@@ -275,8 +285,13 @@ def flash_decode(
         idx = (bi, h, jnp.minimum(j, last_needed), 0)
         return (s_ref[1, bi],) + idx if layered else idx
 
+    def sc_map(bi, h, j, s_ref):
+        last_needed = jnp.minimum(jnp.maximum(s_ref[0, bi] - 1, 0) // bk, nkv - 1)
+        idx = (bi, h, 0, jnp.minimum(j, last_needed))
+        return (s_ref[1, bi],) + idx if layered else idx
+
     kv_block = (1, 1, 1, bk, d) if layered else (1, 1, bk, d)
-    sc_block = (1, 1, 1, bk, 1) if layered else (1, 1, bk, 1)
+    sc_block = (1, 1, 1, 1, bk) if layered else (1, 1, 1, bk)
     in_specs = [
         pl.BlockSpec((1, 1, g, d), q_map),
         pl.BlockSpec(kv_block, kv_map),
@@ -284,7 +299,7 @@ def flash_decode(
     ]
     operands = [qg, k, v]
     if quantized:
-        in_specs += [pl.BlockSpec(sc_block, kv_map), pl.BlockSpec(sc_block, kv_map)]
+        in_specs += [pl.BlockSpec(sc_block, sc_map), pl.BlockSpec(sc_block, sc_map)]
         operands += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

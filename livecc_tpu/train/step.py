@@ -41,6 +41,12 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # dtype of Adam's FIRST moment (optax mu_dtype). fp32 matches DeepSpeed;
+    # bf16 halves that buffer (the second moment stays fp32) — at 2B scale
+    # this frees ~1.8 GB of HBM, which matters on a single 16 GiB chip where
+    # params + moments + fp32 grad accumulators crowd the backward's
+    # workspace (see PERF.md round-2 notes).
+    adam_mu_dtype: Optional[Any] = None
     max_grad_norm: float = 1.0
     freeze_modules: tuple[str, ...] = ("visual",)
     ce_chunk_size: int = 1024
@@ -89,7 +95,7 @@ def make_optimizer(cfg: TrainConfig, params: Params | None = None) -> optax.Grad
         optax.adamw(
             learning_rate=lr_schedule(cfg),
             b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
-            weight_decay=cfg.weight_decay,
+            weight_decay=cfg.weight_decay, mu_dtype=cfg.adam_mu_dtype,
         ),
     )
 

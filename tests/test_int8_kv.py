@@ -38,6 +38,9 @@ def _quant_case(seed, b=1, smax=256, hq=4, hk=2, d=64, sq=64, offset=64):
     v = jnp.asarray(rng.randn(b, hk, smax, d).astype(np.float32))
     kq, ks = quantize_kv(k)
     vq, vs = quantize_kv(v)
+    # kernels take lane-major scales [..., 1, Smax]
+    ks = jnp.swapaxes(ks, -1, -2)
+    vs = jnp.swapaxes(vs, -1, -2)
     return q, k, v, kq, ks, vq, vs, jnp.int32(offset), jnp.int32(offset + sq)
 
 
@@ -46,8 +49,8 @@ def test_flash_prefill_quantized_matches_dequantized():
     out = flash_prefill(q, kq, vq, off, limit, k_scale=ks, v_scale=vs,
                         bq=32, bk=64, interpret=True)
     # reference: run the fp kernel on the DEQUANTIZED cache — identical math
-    kd = kq.astype(jnp.float32) * ks.astype(jnp.float32)
-    vd = vq.astype(jnp.float32) * vs.astype(jnp.float32)
+    kd = kq.astype(jnp.float32) * jnp.swapaxes(ks, -1, -2).astype(jnp.float32)
+    vd = vq.astype(jnp.float32) * jnp.swapaxes(vs, -1, -2).astype(jnp.float32)
     ref = flash_prefill(q, kd, vd, off, limit, bq=32, bk=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
     # and close to the unquantized attention (quantization error only)
@@ -65,10 +68,12 @@ def test_flash_decode_quantized_matches_dequantized():
     v = jnp.asarray(rng.randn(b, hk, smax, d).astype(np.float32))
     kq, ks = quantize_kv(k)
     vq, vs = quantize_kv(v)
-    limit = jnp.asarray([100, 7], jnp.int32)
-    out = flash_decode(q, kq, vq, limit, k_scale=ks, v_scale=vs, bk=128, interpret=True)
     kd = kq.astype(jnp.float32) * ks.astype(jnp.float32)
     vd = vq.astype(jnp.float32) * vs.astype(jnp.float32)
+    ks = jnp.swapaxes(ks, -1, -2)        # kernels take lane-major scales
+    vs = jnp.swapaxes(vs, -1, -2)
+    limit = jnp.asarray([100, 7], jnp.int32)
+    out = flash_decode(q, kq, vq, limit, k_scale=ks, v_scale=vs, bk=128, interpret=True)
     ref = flash_decode(q, kd, vd, limit, bk=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
