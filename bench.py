@@ -61,7 +61,13 @@ def bench_train() -> dict:
         # ZeRO-2 over the data axis. Per-layer shapes (and therefore MFU)
         # are identical at any depth; full-depth tokens/s = this * depth/28.
         full = ModelConfig.qwen2_vl_2b()
-        depth = int(os.environ.get("BENCH_TRAIN_DEPTH", 14))
+        # depth 12, not 14: at depth 14 the fp32 grads + Adam moments put the
+        # step exactly at the 16 GiB OOM edge — XLA sometimes fits it by
+        # serializing (8.6-11.2 s/step across sessions), sometimes OOMs
+        # outright depending on allocator state. Depth 12 + bf16 first
+        # moment leaves real headroom, so the bench measures compute, not
+        # the allocator. Per-layer shapes (hence MFU) are depth-invariant.
+        depth = int(os.environ.get("BENCH_TRAIN_DEPTH", 12))
         cfg = dataclasses.replace(
             full,
             vision=dataclasses.replace(full.vision, depth=16),
@@ -83,9 +89,11 @@ def bench_train() -> dict:
     n_vid = n_patches // 4
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     # CE runs only over supervised positions (gather-compacted): the bucket
-    # covers the post-video span with one chunk of headroom.
+    # covers the post-video span with one chunk of headroom. Adam's first
+    # moment in bf16 (second stays fp32) frees ~1.8 GB on the single chip.
     tcfg = TrainConfig(total_steps=1000, ce_chunk_size=1024 if on_tpu else 128,
-                       ce_sup_bucket=5120 if on_tpu else None)
+                       ce_sup_bucket=5120 if on_tpu else None,
+                       adam_mu_dtype=jnp.bfloat16 if on_tpu else None)
     opt = make_optimizer(tcfg, params)
     opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
 
