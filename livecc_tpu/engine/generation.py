@@ -185,9 +185,8 @@ def decode_chunk(
     """
     b = logits0.shape[0]
 
-    def step(carry, i):
-        logits, cache, stopped, counts, key = carry
-        key, sub = jax.random.split(key)
+    def sample(logits, counts, stopped, key, i):
+        """Shared per-step sampling: penalty, threshold, token, counts."""
         logits = apply_repetition_penalty(logits, counts > 0, gen.repetition_penalty)
         if gen.streaming_threshold_base >= 0 and gen.streaming_eos_token_id >= 0:
             threshold = gen.streaming_threshold_base + gen.streaming_threshold_step * i
@@ -196,12 +195,18 @@ def decode_chunk(
             logits = logits.at[:, gen.streaming_eos_token_id].set(
                 jnp.where(low, _NEG_INF, logits[:, gen.streaming_eos_token_id])
             )
-        token = select_token(logits, gen, sub)                      # [B]
+        token = select_token(logits, gen, key)                      # [B]
         token_out = jnp.where(stopped, gen.pad_token_id, token)
-        now_stopped = stopped | (token == gen.eos_token_id) | (i == gen.max_new_tokens - 1)
         counts = counts.at[jnp.arange(counts.shape[0]), token].add(
             jnp.where(stopped, 0, 1)
         )
+        return token, token_out, counts
+
+    def step(carry, i):
+        logits, cache, stopped, counts, key = carry
+        key, sub = jax.random.split(key)
+        token, token_out, counts = sample(logits, counts, stopped, sub, i)
+        now_stopped = stopped | (token == gen.eos_token_id)
         # Forward the sampled token unless generation has ended. When ended we
         # still execute the forward (static graph) but freeze that row's
         # offset, so the write lands on the free slot and is overwritten.
@@ -216,11 +221,24 @@ def decode_chunk(
 
     stopped0 = jnp.zeros((b,), jnp.bool_) if active is None else jnp.broadcast_to(~active, (b,))
     init = (logits0, cache, stopped0, counts, rng)
-    (_, cache, _, counts, _), (tokens, emitted) = lax.scan(
-        step, init, jnp.arange(gen.max_new_tokens)
+    # Only the first max_new_tokens - 1 sampled tokens are ever forwarded
+    # (the final one's KV never enters history — reference past_ids =
+    # sequences[:, :-1], demo/infer.py:174), so the scan runs one forward
+    # fewer than tokens sampled; the last token comes from a sample-only
+    # epilogue. Saves 1/max_new_tokens of decode compute per chunk.
+    (logits_f, cache, stopped_f, counts, key_f), (tokens, emitted) = lax.scan(
+        step, init, jnp.arange(gen.max_new_tokens - 1)
     )
-    tokens = tokens.T                                               # [B, max_new]
-    n_gen = jnp.sum(emitted.T, axis=-1).astype(jnp.int32)
+    _, sub = jax.random.split(key_f)
+    _, last_out, counts = sample(logits_f, counts, stopped_f, sub,
+                                 jnp.int32(gen.max_new_tokens - 1))
+    if gen.max_new_tokens > 1:
+        tokens = jnp.concatenate([tokens.T, last_out[:, None]], axis=1)  # [B, max_new]
+        emitted = jnp.concatenate([emitted.T, ~stopped_f[:, None]], axis=1)
+    else:
+        tokens = last_out[:, None]
+        emitted = ~stopped_f[:, None]
+    n_gen = jnp.sum(emitted, axis=-1).astype(jnp.int32)
     return tokens, n_gen, cache, counts
 
 
