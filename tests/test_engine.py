@@ -192,3 +192,20 @@ def test_threshold_processor_suppresses_marker(setup):
     )
     out = np.asarray(tokens)[0][: int(n[0])]
     assert marker not in out[:1]  # first step cannot be the suppressed marker
+
+
+def test_decode_single_token_and_prefix_consistency(setup):
+    """max_new_tokens=1 (zero-length forward scan + sample-only epilogue)
+    emits exactly the first token of a longer greedy decode, and a
+    max_new=k decode is a prefix of a max_new=k+4 decode (the sample-only
+    final token never perturbs history)."""
+    g, params, cfg = setup
+    ids = g["text_ids"]
+    out = {}
+    for max_new in (1, 5, 9):
+        logits0, cache, delta, counts = run_prefill(params, cfg, ids, None, None)
+        toks, _ = greedy_gen(params, cfg, logits0, cache, counts, delta, max_new=max_new)
+        out[max_new] = list(toks)
+    assert len(out[1]) == 1
+    assert out[5][:1] == out[1]
+    assert out[9][:5] == out[5]
