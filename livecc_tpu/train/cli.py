@@ -34,6 +34,9 @@ def main(argv=None):
                         help="static cap on supervised tokens per micro-batch; "
                              "compacts the 152k-vocab CE to supervised "
                              "positions only (see TrainConfig.ce_sup_bucket)")
+    parser.add_argument("--adam_mu_dtype", choices=["fp32", "bf16"], default="fp32",
+                        help="Adam first-moment dtype; bf16 halves that buffer "
+                             "(fp32 matches DeepSpeed)")
     parser.add_argument("--with_context", action="store_true")
     parser.add_argument("--overwrite_output_dir", action="store_true",
                         help="start fresh instead of resuming (train.py:29)")
@@ -73,6 +76,7 @@ def main(argv=None):
         total_steps=args.total_steps,
         freeze_modules=tuple(args.freeze_modules),
         ce_sup_bucket=args.ce_sup_bucket,
+        adam_mu_dtype=jnp.bfloat16 if args.adam_mu_dtype == "bf16" else None,
     )
     run = TrainerConfig(
         output_dir=args.output_dir,
