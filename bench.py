@@ -94,7 +94,7 @@ def bench_train() -> dict:
     tcfg = TrainConfig(total_steps=1000, ce_chunk_size=1024 if on_tpu else 128,
                        ce_sup_bucket=5120 if on_tpu else None,
                        adam_mu_dtype=jnp.bfloat16 if on_tpu else None)
-    opt = make_optimizer(tcfg, params)
+    opt = make_optimizer(tcfg)
     opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
 
     rng = np.random.RandomState(0)

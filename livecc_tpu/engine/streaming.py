@@ -35,7 +35,7 @@ from livecc_tpu.models.qwen2_vl.model import VisionInputs, get_rope_index
 from livecc_tpu.models.qwen2_vl.text import KVCache
 from livecc_tpu.ops.rope import vision_rotary_cos_sin
 from livecc_tpu.vision_io.budget import VisionBudget
-from livecc_tpu.vision_io.patchify import device_patchify
+from livecc_tpu.vision_io.patchify import device_patchify, grid_for_frames
 
 Params = dict[str, Any]
 
@@ -200,10 +200,7 @@ class LiveCCEngine:
         for a streaming video they are computed exactly once.
         """
         t, h, w, _ = frames.shape
-        # ceil: device_patchify pads T up to a temporal_patch_size multiple,
-        # so an odd T must count the padded group (HF computes grid after pad).
-        grid = (max(-(-t // self.cfg.vision.temporal_patch_size), 1),
-                h // self.cfg.vision.patch_size, w // self.cfg.vision.patch_size)
+        grid = grid_for_frames(t, h, w, self.cfg.vision)
         n = grid[0] * grid[1] * grid[2]
         # Uniform grid: blocked ViT attention needs no padding (each temporal
         # group is one attention block), so ship exactly N patches.

@@ -153,7 +153,12 @@ class MCQPredictor:
         if total < 2:
             total_for = 2
         if 0 < fps_v < self.budget.fps:
-            total_for = int(total * self.budget.fps / fps_v)
+            # Inflate from the ALREADY-clamped count, floored at 2: the
+            # reference's expression uses the raw count
+            # (distributed_evaluate_ovobench.py:52), which degenerates to
+            # 1 for a 1-frame window of a 1-2 fps video and crashes
+            # smart_nframes — this harness must survive such items.
+            total_for = max(int(total_for * self.budget.fps / fps_v), 2)
             fps_for = self.budget.fps
         n = smart_nframes(total_for, fps_for,
                           max_frames=self.max_frames, budget=self.budget)

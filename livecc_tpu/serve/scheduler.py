@@ -41,7 +41,7 @@ from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill
 from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, _bucket
 from livecc_tpu.models.qwen2_vl.model import VisionInputs
 from livecc_tpu.models.qwen2_vl.text import KVCache
-from livecc_tpu.vision_io.patchify import device_patchify
+from livecc_tpu.vision_io.patchify import device_patchify, grid_for_frames
 
 Params = dict[str, Any]
 
@@ -163,9 +163,7 @@ class StreamServer:
         if s.slot is not None:
             t, h, w = frames.shape[:3]
             cfgv = self.engine.cfg.vision
-            # ceil to match device_patchify's temporal padding (odd T).
-            grid = (max(-(-t // cfgv.temporal_patch_size), 1),
-                    h // cfgv.patch_size, w // cfgv.patch_size)
+            grid = grid_for_frames(t, h, w, cfgv)
             staged = device_patchify(jnp.asarray(frames), n_pad=0)
             s.pending = ((staged, grid), t0, t1)
         else:
@@ -227,16 +225,24 @@ class StreamServer:
         (round-1 bench saw 60 s p99 spikes from exactly that).
 
         Runs (a) the solo init-chunk path and (b) the batched pool step per
-        resolution, on throwaway state — the real pool/caches are untouched.
-        Token bucketing makes the text side robust to prompt wording: any
-        query landing in the same bucket reuses the compiled program.
+        resolution. Adopted streams' pool state is untouched; when no pool
+        exists yet, the warmup scratch state BECOMES the pool afterwards
+        (offsets/counts reset), so warmup never holds two full-size KV pools
+        at once — at the 20-24-stream int8 configurations a second pool
+        would double peak KV HBM. Token bucketing makes the text side robust
+        to prompt wording: any query landing in the same bucket reuses the
+        compiled program.
         """
         engine = self.engine
         cfgv = engine.cfg.vision
-        self._ensure_pool()
+        adopt_scratch = self.pool_caches is None   # scratch becomes the pool
         if self._step is None:
             self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash)
         c = self.capacity
+        scratch_cache = KVCache.zeros(engine.cfg.text, c, engine.cache_len,
+                                      engine.cache_dtype)
+        scratch_counts = jnp.zeros((c, engine.cfg.text.vocab_size), jnp.int32)
+        scratch_last = jnp.full((c,), -1, jnp.int32)
         for (h, w) in resolutions:
             # (a) solo init path (3D M-RoPE prefill + decode at the init bucket)
             st = engine.new_stream()
@@ -244,8 +250,7 @@ class StreamServer:
             engine.chunk_step(st, frames, 0.0, init_frames / engine.fps, query, self.gen)
             del st
             # (b) steady pool step for this grid class
-            grid = (max(-(-steady_frames // cfgv.temporal_patch_size), 1),
-                    h // cfgv.patch_size, w // cfgv.patch_size)
+            grid = grid_for_frames(steady_frames, h, w, cfgv)
             staged = device_patchify(
                 jnp.zeros((steady_frames, h, w, 3), jnp.uint8), n_pad=0
             )
@@ -258,10 +263,6 @@ class StreamServer:
             text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])
             n_ids = len(engine.tokenizer.encode(text))
             bucket = _bucket(n_ids)
-            scratch_cache = KVCache.zeros(engine.cfg.text, c, engine.cache_len,
-                                          engine.cache_dtype)
-            scratch_counts = jnp.zeros((c, engine.cfg.text.vocab_size), jnp.int32)
-            scratch_last = jnp.full((c,), -1, jnp.int32)
             patches = jnp.broadcast_to(staged, (c,) + staged.shape)
             ids = np.zeros((c, bucket), np.int32)
             valid = np.full((c,), n_ids, np.int32)
@@ -273,7 +274,22 @@ class StreamServer:
                 scratch_counts, scratch_last, jnp.zeros((c,), jnp.int32),
                 jnp.asarray(active), sub, group=vis0.group,
             )
-            np.asarray(out[0])   # force completion (relay-safe, CLAUDE.md)
+            # the step donates the scratch state; carry the returned buffers
+            _, _, scratch_cache, scratch_counts, scratch_last = out
+            # reset per-resolution so each warmup sees a fresh-depth pool
+            scratch_cache = dataclasses.replace(
+                scratch_cache, offset=jnp.zeros((c,), jnp.int32)
+            )
+            scratch_counts = jnp.zeros_like(scratch_counts)
+            scratch_last = jnp.full((c,), -1, jnp.int32)
+            np.asarray(scratch_cache.offset)   # force completion (relay-safe)
+        if adopt_scratch and self.pool_caches is None:
+            # stale K/V contents sit beyond every row's kv_limit (offset 0)
+            # and are never attended; reusing the warmed buffers avoids a
+            # second full-size pool allocation.
+            self.pool_caches = scratch_cache
+            self.pool_counts = scratch_counts
+            self.pool_last = scratch_last
 
     # -- pool management ----------------------------------------------------
 
@@ -404,7 +420,14 @@ class StreamServer:
         for p in preps:   # conservative capacity check (host upper bound)
             s = p["s"]
             s.length_ub += len(p["ids"]) + self.gen.max_new_tokens
-            if s.length_ub + bucket > self.pool_caches.max_len:
+        # The batched prefill writes a bucket-sized KV tile at EVERY pool
+        # row's offset (inactive rows write garbage beyond their kv_limit —
+        # harmless ONLY if the slice fits; XLA clamps an out-of-range
+        # dynamic_update_slice start downward, which would silently
+        # overwrite an idle/other-group row's valid history tail). Guard
+        # every adopted stream, not just this dispatch's.
+        for s in self._streams.values():
+            if s.slot is not None and s.length_ub + bucket > self.pool_caches.max_len:
                 raise RuntimeError("pool cache exhausted; raise engine.cache_len")
 
         # frames were staged at submit time; one scatter into slot order

@@ -87,7 +87,7 @@ def split_frozen(params: Params, freeze_modules: tuple[str, ...]) -> tuple[Param
     return trainable, frozen
 
 
-def make_optimizer(cfg: TrainConfig, params: Params | None = None) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW over the TRAINABLE subtree: init with
     ``split_frozen(params, cfg.freeze_modules)[0]``."""
     return optax.chain(

@@ -69,7 +69,7 @@ class Trainer:
         self.run = run
         self.dataset = dataset
         self.mesh = mesh
-        self.optimizer = make_optimizer(tcfg, params)
+        self.optimizer = make_optimizer(tcfg)
         if mesh is None:
             self.batch_rows = 1
             self.params = params

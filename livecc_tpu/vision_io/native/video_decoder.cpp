@@ -575,11 +575,18 @@ int vr_encode_test_audio(const char* path, const float* samples, int64_t n,
   av_channel_layout_default(&c->ch_layout, 1);
   c->sample_fmt = AV_SAMPLE_FMT_S16;
   c->time_base = {1, sample_rate};
-  if (avcodec_open2(c, enc, nullptr) < 0) { set_error("pcm encoder open"); return -1; }
+  auto fail = [&](const char* msg) {
+    set_error(msg);
+    avcodec_free_context(&c);
+    if (fmt->pb) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+    return -1;
+  };
+  if (avcodec_open2(c, enc, nullptr) < 0) return fail("pcm encoder open");
   avcodec_parameters_from_context(st->codecpar, c);
   st->time_base = c->time_base;
-  if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) { set_error("avio_open"); return -1; }
-  if (avformat_write_header(fmt, nullptr) < 0) { set_error("wav header"); return -1; }
+  if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return fail("avio_open");
+  if (avformat_write_header(fmt, nullptr) < 0) return fail("wav header");
 
   AVFrame* fr = av_frame_alloc();
   AVPacket* pkt = av_packet_alloc();

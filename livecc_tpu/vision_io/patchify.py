@@ -80,6 +80,16 @@ def patchify_video(
     return _patchify(frames, np, patch_size, temporal_patch_size, merge_size)
 
 
+def grid_for_frames(t: int, h: int, w: int, cfg) -> tuple[int, int, int]:
+    """grid_thw for a [t, h, w] clip as ``device_patchify`` lays it out:
+    CEIL on the temporal axis (patchify right-pads T to a
+    temporal_patch_size multiple, so an odd T counts the padded group —
+    HF computes grid after padding). Single source of truth for every
+    host-side token-count/rotary-table computation."""
+    return (max(-(-t // cfg.temporal_patch_size), 1),
+            h // cfg.patch_size, w // cfg.patch_size)
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad", "patch_size", "temporal_patch_size", "merge_size"))
 def device_patchify(
     frames: jax.Array,         # [T, H, W, C] uint8 (native decoder layout, pre-scaled)

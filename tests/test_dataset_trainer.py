@@ -191,7 +191,7 @@ def test_image_sample_and_training(corpus, tmp_path):
     # one training step over the image batch
     params = init_params(cfg, jax.random.PRNGKey(0))
     tcfg = TrainConfig(learning_rate=1e-4, total_steps=2, ce_chunk_size=128)
-    opt = make_optimizer(tcfg, params)
+    opt = make_optimizer(tcfg)
     step = jax.jit(make_train_step(cfg, tcfg, opt))
     batch = collate([x, x], cfg)
     params, _, metrics = step(params, opt.init(split_frozen(params, tcfg.freeze_modules)[0]), batch)

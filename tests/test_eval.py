@@ -149,6 +149,27 @@ def test_degenerate_videos_survive(setup, tmp_path):
     preds = predictor.predict(items)
     assert len(preds) == 4 and all(p in "ABCD" for p in preds)
 
+    # 1-frame window of a 1.2-fps video: the raw-count inflation the
+    # reference uses (ovobench :52) degenerates to int(1*2/1.2)=1 and
+    # crashes smart_nframes; ours inflates from the clamped count.
+    class FractionalFps:
+        def __init__(self, inner):
+            self._inner = inner
+            self.avg_fps = 1.2
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    orig_loader = predictor.video_loader
+    predictor.video_loader = lambda p: FractionalFps(orig_loader(p))
+    try:
+        item = MCQItem(video=subfps, question="q", options=opts,
+                       video_start=0.9, video_end=1.9)
+        frames = predictor._read_video(item)
+        assert frames.ndim == 4 and frames.shape[0] >= 2
+    finally:
+        predictor.video_loader = orig_loader
+
 
 def test_livesports_cc_generation_and_judge(setup, tmp_path):
     from livecc_tpu.engine import LiveCCEngine

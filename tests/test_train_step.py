@@ -32,7 +32,7 @@ def test_loss_decreases_and_visual_frozen():
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
     tcfg = TrainConfig(learning_rate=1e-3, total_steps=20)
-    opt = make_optimizer(tcfg, params)
+    opt = make_optimizer(tcfg)
     opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
     step = jax.jit(make_train_step(cfg, tcfg, opt))
     batch = text_batch(cfg)
@@ -56,7 +56,7 @@ def test_sharded_train_step_8dev():
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
     tcfg = TrainConfig(learning_rate=1e-3, total_steps=10)
-    opt = make_optimizer(tcfg, params)
+    opt = make_optimizer(tcfg)
 
     params = shard_params(params, mesh)
     opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])

@@ -24,7 +24,7 @@ batch = Batch(input_ids=jnp.asarray(ids), labels=jnp.asarray(labels),
 outs = {}
 for flash in (False, True):
     tcfg = TrainConfig(learning_rate=1e-3, total_steps=10, ce_chunk_size=128, use_flash=flash)
-    opt = make_optimizer(tcfg, params)
+    opt = make_optimizer(tcfg)
     st = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
     step = jax.jit(make_train_step(cfg, tcfg, opt))
     p2, st2, m = step(params, st, batch)
