@@ -183,6 +183,7 @@ def decode_chunk(
     The last sampled token is sampled but never forwarded (reference
     ``past_ids`` semantics); its KV is absent from the cache.
     """
+    assert gen.max_new_tokens >= 1, "decode_chunk requires max_new_tokens >= 1"
     b = logits0.shape[0]
 
     def sample(logits, counts, stopped, key, i):
@@ -232,12 +233,10 @@ def decode_chunk(
     _, sub = jax.random.split(key_f)
     _, last_out, counts = sample(logits_f, counts, stopped_f, sub,
                                  jnp.int32(gen.max_new_tokens - 1))
-    if gen.max_new_tokens > 1:
-        tokens = jnp.concatenate([tokens.T, last_out[:, None]], axis=1)  # [B, max_new]
-        emitted = jnp.concatenate([emitted.T, ~stopped_f[:, None]], axis=1)
-    else:
-        tokens = last_out[:, None]
-        emitted = ~stopped_f[:, None]
+    # max_new_tokens == 1: the scan ys are (0, B), so the concatenate
+    # degenerates to just the epilogue token — no special case needed.
+    tokens = jnp.concatenate([tokens.T, last_out[:, None]], axis=1)  # [B, max_new]
+    emitted = jnp.concatenate([emitted.T, ~stopped_f[:, None]], axis=1)
     n_gen = jnp.sum(emitted, axis=-1).astype(jnp.int32)
     return tokens, n_gen, cache, counts
 

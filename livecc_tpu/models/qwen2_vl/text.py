@@ -103,35 +103,39 @@ def init_text_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Para
     return params
 
 
-def _write_kv(cache_all: jnp.ndarray, li: jnp.ndarray, kt: jnp.ndarray,
-              offsets: jnp.ndarray) -> jnp.ndarray:
-    """Write [B, Hk, s, D] at per-row depths into the [L, B, Hk, Smax, D]
-    cache. B == 1 takes the fast dynamic_update_slice path; B > 1 scatters
-    (each row lands at its own offset — continuous batching)."""
-    b, hk, s_, d_ = kt.shape
+def _write_rows(cache_all: jnp.ndarray, li: jnp.ndarray, rows: jnp.ndarray,
+                offsets: jnp.ndarray, pos_axis: int) -> jnp.ndarray:
+    """Write per-row slabs at per-row depths into a [L, B, ...] cache.
+
+    ``pos_axis`` names the cache axis that carries positions (3 for the
+    [L, B, Hk, Smax, D] K/V layout, 4 for the lane-major [L, B, Hk, 1,
+    Smax] scale layout). B == 1 takes the fast dynamic_update_slice path;
+    B > 1 statically unrolls one update per row (XLA keeps these in place;
+    a gather/scatter formulation was ~4x slower — continuous batching puts
+    every row at its own depth)."""
+    b = rows.shape[0]
+    start = lambda row_idx, off: tuple(
+        off if ax == pos_axis else idx
+        for ax, idx in enumerate((li, row_idx, 0, 0, 0))
+    )
     if b == 1:
-        return lax.dynamic_update_slice(cache_all, kt[None], (li, 0, 0, offsets[0], 0))
-    # Per-row depths: statically-unrolled dynamic_update_slice per row (XLA
-    # keeps these in place; a gather/scatter formulation was ~4x slower).
+        return lax.dynamic_update_slice(cache_all, rows[None], start(0, offsets[0]))
     for i in range(b):
         cache_all = lax.dynamic_update_slice(
-            cache_all, kt[i][None, None], (li, i, 0, offsets[i], 0)
+            cache_all, rows[i][None, None], start(i, offsets[i])
         )
     return cache_all
 
 
-def _write_scale(scale_all: jnp.ndarray, li: jnp.ndarray, st: jnp.ndarray,
-                 offsets: jnp.ndarray) -> jnp.ndarray:
-    """Write [B, Hk, 1, s] lane-major scales at per-row depths into the
-    [L, B, Hk, 1, Smax] scale cache (positions live on the LAST axis)."""
-    b = st.shape[0]
-    if b == 1:
-        return lax.dynamic_update_slice(scale_all, st[None], (li, 0, 0, 0, offsets[0]))
-    for i in range(b):
-        scale_all = lax.dynamic_update_slice(
-            scale_all, st[i][None, None], (li, i, 0, 0, offsets[i])
-        )
-    return scale_all
+def _write_kv(cache_all, li, kt, offsets):
+    """[B, Hk, s, D] -> [L, B, Hk, Smax, D] cache at per-row depths."""
+    return _write_rows(cache_all, li, kt, offsets, pos_axis=3)
+
+
+def _write_scale(scale_all, li, st, offsets):
+    """[B, Hk, 1, s] lane-major scales -> [L, B, Hk, 1, Smax] at per-row
+    depths (positions live on the LAST axis)."""
+    return _write_rows(scale_all, li, st, offsets, pos_axis=4)
 
 
 def text_forward(

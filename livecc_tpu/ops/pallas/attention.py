@@ -141,23 +141,22 @@ def flash_prefill(
     def q_map(bi, h, iq, j, s_ref):
         return (bi, h, iq, 0)
 
-    def kv_map(bi, h, iq, j, s_ref):
+    def _clamped_j(bi, iq, j, s_ref):
         # Clamp to the last block this (row, iq, j) sweep can need: avoids HBM
         # traffic for the unused cache tail and beyond-causal blocks.
         q_hi = s_ref[0, bi] + iq * bq + bq - 1
         last_needed = jnp.minimum(
             jnp.maximum(jnp.minimum(q_hi, s_ref[1, bi] - 1), 0) // bk, nkv - 1
         )
-        idx = (bi, h // g, jnp.minimum(j, last_needed), 0)
+        return jnp.minimum(j, last_needed)
+
+    def kv_map(bi, h, iq, j, s_ref):
+        idx = (bi, h // g, _clamped_j(bi, iq, j, s_ref), 0)
         return (s_ref[2, bi],) + idx if layered else idx
 
     def sc_map(bi, h, iq, j, s_ref):
         # Same frontier clamp as kv_map, but positions ride the LAST axis.
-        q_hi = s_ref[0, bi] + iq * bq + bq - 1
-        last_needed = jnp.minimum(
-            jnp.maximum(jnp.minimum(q_hi, s_ref[1, bi] - 1), 0) // bk, nkv - 1
-        )
-        idx = (bi, h // g, 0, jnp.minimum(j, last_needed))
+        idx = (bi, h // g, 0, _clamped_j(bi, iq, j, s_ref))
         return (s_ref[2, bi],) + idx if layered else idx
 
     kv_block = (1, 1, 1, bk, d) if layered else (1, 1, bk, d)
@@ -280,14 +279,16 @@ def flash_decode(
     def q_map(bi, h, j, s_ref):
         return (bi, h, 0, 0)
 
-    def kv_map(bi, h, j, s_ref):
+    def _clamped_j(bi, j, s_ref):
         last_needed = jnp.minimum(jnp.maximum(s_ref[0, bi] - 1, 0) // bk, nkv - 1)
-        idx = (bi, h, jnp.minimum(j, last_needed), 0)
+        return jnp.minimum(j, last_needed)
+
+    def kv_map(bi, h, j, s_ref):
+        idx = (bi, h, _clamped_j(bi, j, s_ref), 0)
         return (s_ref[1, bi],) + idx if layered else idx
 
     def sc_map(bi, h, j, s_ref):
-        last_needed = jnp.minimum(jnp.maximum(s_ref[0, bi] - 1, 0) // bk, nkv - 1)
-        idx = (bi, h, 0, jnp.minimum(j, last_needed))
+        idx = (bi, h, 0, _clamped_j(bi, j, s_ref))
         return (s_ref[1, bi],) + idx if layered else idx
 
     kv_block = (1, 1, 1, bk, d) if layered else (1, 1, bk, d)

@@ -225,13 +225,16 @@ class StreamServer:
         (round-1 bench saw 60 s p99 spikes from exactly that).
 
         Runs (a) the solo init-chunk path and (b) the batched pool step per
-        resolution. Adopted streams' pool state is untouched; when no pool
-        exists yet, the warmup scratch state BECOMES the pool afterwards
-        (offsets/counts reset), so warmup never holds two full-size KV pools
-        at once — at the 20-24-stream int8 configurations a second pool
-        would double peak KV HBM. Token bucketing makes the text side robust
-        to prompt wording: any query landing in the same bucket reuses the
-        compiled program.
+        resolution, on one scratch pool state. Adopted streams' pool state
+        is untouched. When no pool exists yet (warmup before serving — the
+        intended use), the scratch BECOMES the pool afterwards
+        (offsets/counts reset), so a pre-serve warmup never holds two
+        full-size KV pools at once; a MID-serve warmup (pool already live)
+        does transiently hold pool + scratch — at the 20-24-stream int8
+        configurations that doubles peak KV HBM, so warm new resolutions
+        before adopting streams where possible. Token bucketing makes the
+        text side robust to prompt wording: any query landing in the same
+        bucket reuses the compiled program.
         """
         engine = self.engine
         cfgv = engine.cfg.vision
@@ -275,14 +278,18 @@ class StreamServer:
                 jnp.asarray(active), sub, group=vis0.group,
             )
             # the step donates the scratch state; carry the returned buffers
-            _, _, scratch_cache, scratch_counts, scratch_last = out
+            tokens_out, _, scratch_cache, scratch_counts, scratch_last = out
+            # force completion on a REAL step output — materializing an
+            # unrelated array can return before the step finishes through
+            # the relay (CLAUDE.md), deferring the warmup compile/execution
+            # (and any OOM) to the first live tick
+            np.asarray(tokens_out)
             # reset per-resolution so each warmup sees a fresh-depth pool
             scratch_cache = dataclasses.replace(
                 scratch_cache, offset=jnp.zeros((c,), jnp.int32)
             )
             scratch_counts = jnp.zeros_like(scratch_counts)
             scratch_last = jnp.full((c,), -1, jnp.int32)
-            np.asarray(scratch_cache.offset)   # force completion (relay-safe)
         if adopt_scratch and self.pool_caches is None:
             # stale K/V contents sit beyond every row's kv_limit (offset 0)
             # and are never attended; reusing the warmed buffers avoids a
@@ -398,6 +405,23 @@ class StreamServer:
         groups: dict[tuple, list[dict]] = {}
         for p in preps:
             groups.setdefault(p["grid"], []).append(p)
+        # Bump host length upper-bounds, then guard EVERY adopted row
+        # against the largest bucket this tick writes, BEFORE dispatching
+        # any group: the batched prefill writes a bucket tile at every pool
+        # row's offset (an out-of-range dynamic_update_slice start clamps
+        # downward and would overwrite an idle row's history tail), and a
+        # guard failing between two groups' dispatches would leave the tick
+        # half-applied (first group's donated pool mutations with its
+        # results dropped).
+        max_bucket = 0
+        for group_preps in groups.values():
+            bucket = _bucket(max(len(p["ids"]) for p in group_preps))
+            max_bucket = max(max_bucket, bucket)
+            for p in group_preps:
+                p["s"].length_ub += len(p["ids"]) + self.gen.max_new_tokens
+        for s in self._streams.values():
+            if s.slot is not None and s.length_ub + max_bucket > self.pool_caches.max_len:
+                raise RuntimeError("pool cache exhausted; raise engine.cache_len")
         # dispatch FIRST (async device work), join the previous collector
         # only afterwards — joining first would serialize tick N behind
         # tick N-1's host-side drain and cost ~50 ms/tick of pipelining.
@@ -417,18 +441,7 @@ class StreamServer:
         c = self.capacity
         vis0 = self._vision_aux(grid, 0)
         bucket = _bucket(max(len(p["ids"]) for p in preps))
-        for p in preps:   # conservative capacity check (host upper bound)
-            s = p["s"]
-            s.length_ub += len(p["ids"]) + self.gen.max_new_tokens
-        # The batched prefill writes a bucket-sized KV tile at EVERY pool
-        # row's offset (inactive rows write garbage beyond their kv_limit —
-        # harmless ONLY if the slice fits; XLA clamps an out-of-range
-        # dynamic_update_slice start downward, which would silently
-        # overwrite an idle/other-group row's valid history tail). Guard
-        # every adopted stream, not just this dispatch's.
-        for s in self._streams.values():
-            if s.slot is not None and s.length_ub + bucket > self.pool_caches.max_len:
-                raise RuntimeError("pool cache exhausted; raise engine.cache_len")
+        # capacity/overwrite guard runs in _run_pool BEFORE any dispatch
 
         # frames were staged at submit time; one scatter into slot order
         patches_ready = jnp.stack([p["staged"] for p in preps])

@@ -126,3 +126,37 @@ def test_int8_server_matches_int8_engine():
     srv.flush()
     out = [t for _, t in srv.drain(sid)]
     assert out == ref
+
+
+def test_flash_layered_quantized_matches_dequantized():
+    """The LAYERED (5D cache) + quantized kernels — the actual TPU int8
+    serving configuration (layer-indexed pool cache with lane-major
+    scales) — must match the fp kernels on the dequantized cache."""
+    rng = np.random.RandomState(3)
+    L, b, smax, hq, hk, d = 3, 2, 256, 4, 2, 64
+    k = jnp.asarray(rng.randn(L, b, hk, smax, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(L, b, hk, smax, d).astype(np.float32))
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    kd = kq.astype(jnp.float32) * ks.astype(jnp.float32)
+    vd = vq.astype(jnp.float32) * vs.astype(jnp.float32)
+    ks = jnp.swapaxes(ks, -1, -2)        # lane-major [L, B, Hk, 1, Smax]
+    vs = jnp.swapaxes(vs, -1, -2)
+    li = jnp.int32(1)
+
+    # decode (per-row limits)
+    q1 = jnp.asarray(rng.randn(b, hq, 1, d).astype(np.float32))
+    limit = jnp.asarray([200, 9], jnp.int32)
+    out = flash_decode(q1, kq, vq, limit, li, k_scale=ks, v_scale=vs,
+                       bk=128, interpret=True)
+    ref = flash_decode(q1, kd, vd, limit, li, bk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+    # prefill (per-row offsets)
+    sq = 32
+    qp = jnp.asarray(rng.randn(b, hq, sq, d).astype(np.float32))
+    off = jnp.asarray([64, 128], jnp.int32)
+    outp = flash_prefill(qp, kq, vq, off, off + sq, li, k_scale=ks, v_scale=vs,
+                         bq=32, bk=64, interpret=True)
+    refp = flash_prefill(qp, kd, vd, off, off + sq, li, bq=32, bk=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp), atol=3e-5, rtol=1e-4)
