@@ -209,3 +209,45 @@ def test_scrfd_detector_pipeline_roundtrip(tmp_path):
         window=3, stride=3, min_track_len=1,
     )
     assert ratio == 0.0
+
+
+def test_full_asd_chain_scrfd_tracker_lightasd():
+    """The complete ASD filter chain exactly as the reference composes it
+    (main.py:39-66): SCRFD detection -> IoU tracking -> grayscale face
+    tubes + MFCC -> Light-ASD scoring -> talking ratio -> keep decision."""
+    import jax
+    from livecc_tpu.tools import scrfd
+    from livecc_tpu.tools.lightasd import init_lightasd_params, track_score
+
+    det_cfg = scrfd.ScrfdConfig(score_threshold=0.4)
+    det_params = scrfd.init_scrfd_params(det_cfg, jax.random.PRNGKey(0))
+    detect = scrfd.make_detector(det_params, det_cfg)
+    asd_params = init_lightasd_params(jax.random.PRNGKey(1))
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 255, (8, 64, 96, 3), np.uint8)
+    audio = np.sin(np.linspace(0, 900, 8 * 640)).astype(np.float32)
+    feats = asd.mfcc(audio)
+
+    def score_track(track, all_frames):
+        # grayscale 112x112 face tube from the track's boxes (main.py:39-47)
+        tube = []
+        for fi, box in zip(track.frames, track.boxes):
+            x1, y1, x2, y2 = [int(v) for v in box]
+            h_f, w_f = all_frames.shape[1], all_frames.shape[2]
+            x1 = min(max(x1, 0), w_f - 1)
+            y1 = min(max(y1, 0), h_f - 1)
+            x2 = min(max(x2, x1 + 1), w_f)
+            y2 = min(max(y2, y1 + 1), h_f)
+            crop = all_frames[fi, y1:y2, x1:x2].mean(axis=-1) / 255.0
+            yy = np.clip((np.linspace(0, crop.shape[0] - 1, 112)).astype(int), 0, crop.shape[0] - 1)
+            xx = np.clip((np.linspace(0, crop.shape[1] - 1, 112)).astype(int), 0, crop.shape[1] - 1)
+            tube.append(crop[np.ix_(yy, xx)])
+        faces = np.stack(tube).astype(np.float32)
+        n = min(len(faces) * 4, len(feats))
+        return track_score(asd_params, faces, feats[:n])
+
+    ratio = asd.talking_ratio(frames, detect, score_track,
+                              window=4, stride=4, min_track_len=1)
+    assert 0.0 <= ratio <= 1.0
+    assert asd.keep_clip(ratio) in (True, False)
