@@ -206,6 +206,7 @@ def test_train_cli_smoke(corpus, tmp_path):
         "--output_dir", str(tmp_path / "run"),
         "--total_steps", "1", "--accum_steps", "1",
         "--save_steps", "1", "--log_steps", "1",
+        "--ce_sup_bucket", "256", "--adam_mu_dtype", "bf16",
     ])
     assert out["step"] == 1 and np.isfinite(out["loss"])
     assert os.path.isdir(str(tmp_path / "run" / "ckpt"))
