@@ -106,8 +106,13 @@ class LiveCCEngine:
     # state management
     # ------------------------------------------------------------------
 
-    def new_stream(self) -> StreamState:
-        cache = KVCache.zeros(self.cfg.text, 1, self.cache_len, self.cache_dtype)
+    def new_stream(self, cache_len: int | None = None) -> StreamState:
+        """``cache_len`` overrides the engine default for this stream's
+        initial cache (it doubles on demand); the serving pool starts init
+        streams small so N joining streams don't transiently hold N
+        full-length solo caches next to the pool."""
+        cache = KVCache.zeros(self.cfg.text, 1, cache_len or self.cache_len,
+                              self.cache_dtype)
         counts = jnp.zeros((1, self.cfg.text.vocab_size), jnp.int32)
         return StreamState(cache=cache, counts=counts, past_ids=[])
 

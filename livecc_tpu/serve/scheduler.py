@@ -86,15 +86,35 @@ def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
 
 @functools.partial(jax.jit, donate_argnames=("pool_cache", "pool_counts", "pool_last"))
 def _insert_slot(pool_cache, pool_counts, pool_last, slot, cache, counts, last):
-    def put(pool_arr, arr):
-        return None if pool_arr is None else pool_arr.at[:, slot].set(arr[:, 0])
+    """Copy a (possibly SHORTER) solo cache into a pool slot.
+
+    Init streams start with a small cache (see StreamServer.add_stream) so
+    N simultaneously-joining streams don't hold N full-length caches next
+    to the pool; the prefix past the solo length stays zero and sits beyond
+    the row's kv_limit, so it is never attended."""
+
+    def put_kv(pool_arr, arr):
+        if pool_arr is None:
+            return None
+        s = arr.shape[-2]                      # positions on axis -2 (K/V)
+        if s == pool_arr.shape[-2]:
+            return pool_arr.at[:, slot].set(arr[:, 0])
+        return pool_arr.at[:, slot, :, :s, :].set(arr[:, 0])
+
+    def put_scale(pool_arr, arr):
+        if pool_arr is None:
+            return None
+        s = arr.shape[-1]                      # lane-major: positions last
+        if s == pool_arr.shape[-1]:
+            return pool_arr.at[:, slot].set(arr[:, 0])
+        return pool_arr.at[:, slot, :, :, :s].set(arr[:, 0])
 
     new_cache = KVCache(
-        put(pool_cache.k, cache.k),
-        put(pool_cache.v, cache.v),
+        put_kv(pool_cache.k, cache.k),
+        put_kv(pool_cache.v, cache.v),
         pool_cache.offset.at[slot].set(cache.offset[0]),
-        put(pool_cache.k_scale, cache.k_scale),
-        put(pool_cache.v_scale, cache.v_scale),
+        put_scale(pool_cache.k_scale, cache.k_scale),
+        put_scale(pool_cache.v_scale, cache.v_scale),
     )
     return new_cache, pool_counts.at[slot].set(counts[0]), pool_last.at[slot].set(last)
 
@@ -140,9 +160,14 @@ class StreamServer:
             raise RuntimeError(f"server at capacity ({self.capacity} streams)")
         sid = self._next_sid
         self._next_sid += 1
+        # Small initial solo cache (init chunk is ~1k tokens; it doubles on
+        # demand): at a 32k pool, 8 full-length solo caches would add
+        # ~7.5 GB (2B bf16) next to the pool during a joining burst — the
+        # prefix-copying _insert_slot makes the small cache adoptable.
+        init_len = min(2048, self.engine.cache_len)
         self._streams[sid] = Stream(
             sid=sid, resolution=resolution, query=query,
-            init_state=self.engine.new_stream(),
+            init_state=self.engine.new_stream(cache_len=init_len),
         )
         return sid
 
@@ -317,7 +342,7 @@ class StreamServer:
         self._ensure_pool()
         slot = self._free.pop(0)
         st = s.init_state
-        if st.cache.max_len != self.pool_caches.max_len:
+        if st.cache.max_len > self.pool_caches.max_len:
             raise RuntimeError("stream cache grew past the pool size; raise cache_len")
         self.pool_caches, self.pool_counts, self.pool_last = _insert_slot(
             self.pool_caches, self.pool_counts, self.pool_last,

@@ -164,3 +164,34 @@ def test_remove_stream_with_inflight_results():
     s2 = server.add_stream((28, 28), query="c")
     server.submit_chunk(s2, frames(3, 6), 0.0, 3.0)
     assert server.tick() == 1
+
+
+def test_prefix_adoption_small_init_cache_matches():
+    """Init streams start with a SMALL solo cache that is prefix-copied
+    into a larger pool slot (add_stream caps the init cache so N joining
+    streams don't hold N full-length caches next to the pool). Server
+    output must be token-identical to the solo engine at the pool size."""
+    # solo reference at the full cache length
+    engine_a = build_engine()
+    gen = gen_for(engine_a)
+    st = engine_a.new_stream()
+    ref = [engine_a.chunk_step(st, frames(0, 6), 0.0, 3.0, "q", gen)]
+    for i in range(3):
+        ref.append(engine_a.chunk_step(st, frames(i + 1), 3.0 + i, 4.0 + i, None, gen))
+
+    # server whose pool is larger than the init cache: force the prefix path
+    engine_b = build_engine()
+    srv = StreamServer(engine_b, gen, capacity=2)
+    sid = srv.add_stream((28, 28), query="q")
+    assert srv._streams[sid].init_state.cache.max_len < engine_b.cache_len or \
+        engine_b.cache_len <= 2048
+    # shrink the init cache further to guarantee init < pool in this config
+    srv._streams[sid].init_state = engine_b.new_stream(cache_len=128)
+    srv.submit_chunk(sid, frames(0, 6), 0.0, 3.0)
+    srv.tick()
+    for i in range(3):
+        srv.submit_chunk(sid, frames(i + 1), 3.0 + i, 4.0 + i)
+        srv.tick()
+    srv.flush()
+    out = [t for _, t in srv.drain(sid)]
+    assert out == ref
