@@ -271,7 +271,15 @@ def text_forward(
             return attn_mlp(x, layer, attend), None
 
         if remat:
-            block = jax.checkpoint(block, policy=jax.checkpoint_policies.nothing_saveable)
+            # remat=True -> full recompute; remat="dots" -> save matmul
+            # outputs (qkv/o/mlp projections), so the backward recomputes
+            # only elementwise ops — trades ~250 MB/layer of bf16 residuals
+            # for skipping the whole forward-again matmul FLOPs (~20% of a
+            # step at seq 8k). Attention itself is a Pallas call (not dots),
+            # so its output recomputes either way.
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if remat == "dots" else jax.checkpoint_policies.nothing_saveable)
+            block = jax.checkpoint(block, policy=policy)
         x, _ = lax.scan(block, inputs_embeds, params["layers"])
         new_cache = None
 

@@ -162,7 +162,12 @@ def greedy_transcribe_tokens(
 
     The decoder prefix recomputes each step — segments are short (<=448) and
     this tool is offline (reference runs it as a batch corpus job)."""
-    max_new = max_new_tokens or (cfg.max_target_positions - len(prompt_ids))
+    # clamp to the position-table capacity: a caller-supplied max_new_tokens
+    # past max_target_positions - len(prompt_ids) would grow ids past the
+    # pad bucket (buf[0, :len(ids)] raises) and overflow the learned
+    # position embedding
+    max_new = max_new_tokens or cfg.max_target_positions
+    max_new = min(max_new, cfg.max_target_positions - len(prompt_ids))
     enc = jax.jit(whisper_encode, static_argnums=1)(params, cfg, jnp.asarray(mel)[None])
 
     @functools.partial(jax.jit, static_argnums=2)

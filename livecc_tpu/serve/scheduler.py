@@ -45,6 +45,16 @@ from livecc_tpu.vision_io.patchify import device_patchify, grid_for_frames
 
 Params = dict[str, Any]
 
+# Initial solo-cache length for joining streams (an init chunk is ~1k
+# tokens; the solo cache doubles on demand). Shared by add_stream and
+# warmup: prefill/decode jit-specialize on cache shape, so warming any
+# other length would leave the real join path uncompiled.
+INIT_CACHE_LEN = 2048
+
+
+def _init_cache_len(engine: LiveCCEngine) -> int:
+    return min(INIT_CACHE_LEN, engine.cache_len)
+
 
 def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
     """One fused jit per tick: batched prefill + fused decode over the pool.
@@ -164,7 +174,7 @@ class StreamServer:
         # demand): at a 32k pool, 8 full-length solo caches would add
         # ~7.5 GB (2B bf16) next to the pool during a joining burst — the
         # prefix-copying _insert_slot makes the small cache adoptable.
-        init_len = min(2048, self.engine.cache_len)
+        init_len = _init_cache_len(self.engine)
         self._streams[sid] = Stream(
             sid=sid, resolution=resolution, query=query,
             init_state=self.engine.new_stream(cache_len=init_len),
@@ -272,8 +282,11 @@ class StreamServer:
         scratch_counts = jnp.zeros((c, engine.cfg.text.vocab_size), jnp.int32)
         scratch_last = jnp.full((c,), -1, jnp.int32)
         for (h, w) in resolutions:
-            # (a) solo init path (3D M-RoPE prefill + decode at the init bucket)
-            st = engine.new_stream()
+            # (a) solo init path (3D M-RoPE prefill + decode at the init
+            # bucket) — at the SAME cache length add_stream uses: the solo
+            # programs specialize on cache shape, so warming a full-length
+            # cache would leave the real join path to compile mid-serve.
+            st = engine.new_stream(cache_len=_init_cache_len(engine))
             frames = np.zeros((init_frames, h, w, 3), np.uint8)
             engine.chunk_step(st, frames, 0.0, init_frames / engine.fps, query, self.gen)
             del st

@@ -136,9 +136,12 @@ def scrfd_forward(params: Params, cfg: ScrfdConfig, frames: jnp.ndarray):
 def anchor_centers(height: int, width: int, stride: int, num_anchors: int) -> np.ndarray:
     """Flattened anchor centers for one FPN level — exactly the reference's
     construction (face_detector.py:15-20): xy grid * stride, repeated per
-    anchor."""
+    anchor. Grid dims use CEIL division: the SAME-padded stride-2 conv
+    chain in scrfd_forward produces ceil-sized feature maps, so for frames
+    whose H/W is not a multiple of the stride the anchor count must match
+    ceil(h/s)*ceil(w/s) (the reference's 288x160 input hides this)."""
     centers = np.stack(
-        np.mgrid[: height // stride, : width // stride][::-1], axis=-1
+        np.mgrid[: -(-height // stride), : -(-width // stride)][::-1], axis=-1
     ).astype(np.float32)
     centers = (centers * stride).reshape(-1, 2)
     return np.stack([centers] * num_anchors, axis=1).reshape(-1, 2)

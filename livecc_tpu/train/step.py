@@ -60,8 +60,11 @@ class TrainConfig:
     # The caller MUST size the bucket >= the bucket's max supervised count
     # (the collator knows it); overflow positions are dropped from the loss.
     ce_sup_bucket: Optional[int] = None
-    # per-layer rematerialization (the reference's --gradient_checkpointing)
-    remat: bool = True
+    # per-layer rematerialization (the reference's --gradient_checkpointing):
+    # True = full recompute (nothing saved), "dots" = save matmul outputs
+    # (backward skips the forward-again matmuls at ~250 MB/layer of bf16
+    # residuals at seq 8k — the faster choice when HBM allows)
+    remat: bool | str = True
     # Pallas flash attention with backward in the LLM (None = auto on TPU)
     use_flash: Optional[bool] = None
 
@@ -130,8 +133,13 @@ class Batch:
 
 
 def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
-            use_flash: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Mean CE over supervised tokens of one micro-batch. Returns (loss, count)."""
+            use_flash: bool = False) -> tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]]:
+    """Mean CE over supervised tokens of one micro-batch.
+
+    Returns ``(loss, (count, dropped))`` where ``dropped`` is the number of
+    supervised positions truncated by an undersized ``ce_sup_bucket`` (0 on
+    the unbucketed path) — silent truncation would train on a biased label
+    subset, so the trainer logs/raises on it (metrics['ce_dropped'])."""
     ids, labels, pos, mask = micro.input_ids, micro.labels, micro.position_ids, micro.attention_mask
     vision = None
     if micro.vision_patches is not None:
@@ -160,15 +168,18 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
         flat_h = hidden.reshape(b * s, h)
         flat_l = shifted.reshape(b * s)
         sup = flat_l != -100
+        n_sup = jnp.sum(sup)
         idx = jnp.nonzero(sup, size=kb, fill_value=0)[0]        # static size
-        lab = jnp.where(jnp.arange(kb) < jnp.sum(sup), flat_l[idx], -100)
+        lab = jnp.where(jnp.arange(kb) < n_sup, flat_l[idx], -100)
         loss, count = chunked_cross_entropy(
             flat_h[idx][None], kernel, lab[None],
             chunk_size=min(tcfg.ce_chunk_size, kb),
         )
+        dropped = jnp.maximum(n_sup - kb, 0)
     else:
         loss, count = chunked_cross_entropy(hidden, kernel, shifted, chunk_size=tcfg.ce_chunk_size)
-    return loss, count
+        dropped = jnp.int32(0)
+    return loss, (count, dropped)
 
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer: optax.GradientTransformation):
@@ -187,18 +198,18 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer: optax.Gradie
         def grad_one(micro):
             def scaled(tp):
                 return loss_fn({**frozen, **tp}, cfg, tcfg, micro, use_flash=use_flash)
-            (loss, count), grads = jax.value_and_grad(scaled, has_aux=True)(trainable)
-            return loss, count, grads
+            (loss, (count, dropped)), grads = jax.value_and_grad(scaled, has_aux=True)(trainable)
+            return loss, count, dropped, grads
 
         def body(carry, micro):
-            loss_acc, count_acc, grads_acc = carry
-            loss, count, grads = grad_one(micro)
+            loss_acc, count_acc, drop_acc, grads_acc = carry
+            loss, count, dropped, grads = grad_one(micro)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (loss_acc + loss, count_acc + count, grads_acc), None
+            return (loss_acc + loss, count_acc + count, drop_acc + dropped, grads_acc), None
 
         zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), trainable)
-        (loss_sum, count_sum, grads), _ = lax.scan(
-            body, (jnp.float32(0.0), jnp.int32(0), zeros), batch
+        (loss_sum, count_sum, drop_sum, grads), _ = lax.scan(
+            body, (jnp.float32(0.0), jnp.int32(0), jnp.int32(0), zeros), batch
         )
         # cross-data-replica token-weighted mean happens automatically: grads
         # and counts are summed over the data axis by pjit when opt state is
@@ -207,7 +218,8 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer: optax.Gradie
         grads = jax.tree_util.tree_map(lambda g: (g / denom).astype(jnp.float32), grads)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        metrics = {"loss": loss_sum / denom, "tokens": count_sum}
+        metrics = {"loss": loss_sum / denom, "tokens": count_sum,
+                   "ce_dropped": drop_sum}
         return {**frozen, **trainable}, opt_state, metrics
 
     return step

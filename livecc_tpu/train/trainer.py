@@ -20,6 +20,7 @@ import json
 import os
 import random
 import time
+import warnings
 from typing import Any
 
 import jax
@@ -226,6 +227,15 @@ class Trainer:
                         "tokens": int(metrics["tokens"]),
                         "elapsed_s": round(time.time() - t0, 2),
                     }
+                    # supervised positions truncated by an undersized
+                    # ce_sup_bucket: never silent — it biases the loss
+                    dropped = int(metrics.get("ce_dropped", 0))
+                    if dropped:
+                        last["ce_dropped"] = dropped
+                        warnings.warn(
+                            f"ce_sup_bucket dropped {dropped} supervised tokens "
+                            "this step; raise TrainConfig.ce_sup_bucket"
+                        )
                     self._log(last)
                 if self.step % self.run.save_steps == 0 or self.step == self.run.total_steps:
                     self.save()

@@ -182,6 +182,28 @@ def test_scrfd_shapes_and_decode(tmp_path):
     np.testing.assert_array_equal(scrfd.anchor_centers(h, w, 16, cfg.num_anchors), ref)
 
 
+def test_scrfd_decode_non_stride_multiple_frame():
+    """Frames whose H/W is not a multiple of 32: the SAME-padded conv chain
+    emits ceil-sized feature maps, so the anchor grid must be ceil-sized too
+    (ADVICE r2: floor-divided anchors made boxes[keep] raise IndexError)."""
+    import jax
+    from livecc_tpu.tools import scrfd
+
+    cfg = scrfd.ScrfdConfig(score_threshold=0.0)
+    params = scrfd.init_scrfd_params(cfg, jax.random.PRNGKey(0))
+    h, w = 150, 250                       # not multiples of any stride
+    frame = np.random.RandomState(0).randint(0, 255, (1, h, w, 3), np.uint8)
+    outs = scrfd.scrfd_forward(params, cfg, frame)
+    for (score, bbox), stride in zip(outs, cfg.strides):
+        n = -(-h // stride) * (-(-w // stride)) * cfg.num_anchors
+        assert score.shape == (1, n)
+        centers = scrfd.anchor_centers(h, w, stride, cfg.num_anchors)
+        assert centers.shape == (n, 2)
+    level_outputs = [(np.asarray(s[0]), np.asarray(b[0])) for s, b in outs]
+    boxes, scores = scrfd.decode_detections(cfg, level_outputs, h, w)
+    assert boxes.shape[0] == scores.shape[0]     # no IndexError, aligned
+
+
 def test_scrfd_detector_pipeline_roundtrip(tmp_path):
     """make_detector feeds talking_ratio end-to-end; weights round-trip npz."""
     import jax

@@ -96,7 +96,7 @@ def test_ce_sup_bucket_matches_full():
 
     def run(tcfg):
         def f(p):
-            loss, count = loss_fn(p, cfg, tcfg, micro)
+            loss, (count, _dropped) = loss_fn(p, cfg, tcfg, micro)
             return loss / jnp.maximum(count, 1)
         val, grads = jax.value_and_grad(f)(params)
         return val, grads
@@ -108,6 +108,14 @@ def test_ce_sup_bucket_matches_full():
     for a, b_ in zip(jax.tree_util.tree_leaves(full_grads), jax.tree_util.tree_leaves(comp_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-6)
 
-    # undersized bucket drops positions but stays finite and well-defined
+    # undersized bucket drops positions but stays finite and well-defined,
+    # and the overflow is REPORTED (ADVICE r2: silent truncation trains on a
+    # biased label subset)
     s_val, _ = run(TrainConfig(total_steps=10, ce_chunk_size=16, ce_sup_bucket=8))
     assert np.isfinite(float(s_val))
+    tcfg_small = TrainConfig(total_steps=10, ce_chunk_size=16, ce_sup_bucket=8)
+    _, (count, dropped) = loss_fn(params, cfg, tcfg_small, micro)
+    tcfg_full = TrainConfig(total_steps=10, ce_chunk_size=16, ce_sup_bucket=32)
+    _, (count_f, dropped_f) = loss_fn(params, cfg, tcfg_full, micro)
+    assert int(dropped) == int(count_f) - 8 and int(dropped) > 0
+    assert int(dropped_f) == 0
