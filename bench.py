@@ -34,6 +34,12 @@ import time
 import numpy as np
 
 import os
+
+# Persistent XLA compilation cache: TPU compiles through the relay cost
+# 25-645 s per program (CLAUDE.md); with the cache, repeated bench runs
+# re-execute in seconds and p99s stop counting compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_cache")
+
 N_STREAMS = int(os.environ.get("BENCH_STREAMS", 8))
 N_WARMUP = 2
 N_TICKS = 10
@@ -120,6 +126,9 @@ def bench_train() -> dict:
         vision_group=grid[1] * grid[2],
     )
 
+    from livecc_tpu.utils.calibrate import calibrate_matmul
+    cal = calibrate_matmul() if on_tpu else {"achieved_tflops": 0.0}
+
     step = jax.jit(make_train_step(cfg, tcfg, opt), donate_argnums=(0, 1))
     t0 = time.perf_counter()
     params, opt_state, metrics = step(params, opt_state, batch)
@@ -148,6 +157,12 @@ def bench_train() -> dict:
             "mfu": round(mfu, 4), "accum": accum, "seq": seq,
             "video_patches": n_patches, "supervised_tokens": sup_tokens,
             "loss": round(loss, 4), "peak_tflops": PEAK_TFLOPS,
+            # chip-speed scale for cross-session comparison (the chip is
+            # time-shared; see utils/calibrate.py)
+            "calibration_tflops": cal["achieved_tflops"],
+            "mfu_vs_calibrated": round(
+                flops / wall / max(cal["achieved_tflops"], 1e-9) / 1e12, 4
+            ) if on_tpu else 0.0,
         },
     }
 
@@ -176,8 +191,15 @@ def bench_serving() -> dict:
 
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = jax.block_until_ready(params)
+    from livecc_tpu.utils.calibrate import calibrate_matmul
+    cal = calibrate_matmul() if on_tpu else {"achieved_tflops": 0.0}
     cache_len = int(os.environ.get("BENCH_CACHE_LEN", 8192))
-    cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[os.environ.get("BENCH_KV", "bf16")]
+    # int8 KV is the serving DEFAULT policy: halves KV HBM (capacity) and
+    # measured faster than bf16 with lane-major scales (PERF.md round 2);
+    # the horizon math (parallel/memory.py:streaming_horizon) and cache
+    # compaction assume it. BENCH_KV=bf16 restores the old path.
+    cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_KV", "int8" if on_tpu else "bf16")]
     engine = LiveCCEngine(
         params, cfg, ByteTokenizer.for_config(cfg), cache_len=cache_len, cache_dtype=cache_dtype
     )
@@ -188,17 +210,21 @@ def bench_serving() -> dict:
         repetition_penalty=1.05,
     )
     server = StreamServer(engine, gen, capacity=N_STREAMS)
+    # pre-compile EVERYTHING a session at this resolution hits (solo init
+    # path at the join cache length + batched pool programs) so no measured
+    # phase ever contains an XLA compile (r2 weak #5: p99 lied)
+    server.warmup([frame_hw])
 
     rng = np.random.RandomState(0)
     h, w = frame_hw
     frames = lambda n: rng.randint(0, 255, size=(n, h, w, 3), dtype=np.uint8)
 
     sids = [server.add_stream(frame_hw, query="Please describe the video.") for _ in range(N_STREAMS)]
-    # init chunks (3 s window) — also warms the solo-path compiles
+    # init chunks (3 s window) — solo path, compiled by warmup
     for sid in sids:
         server.submit_chunk(sid, frames(6), 0.0, 3.0)
     server.tick()
-    # steady-state warmup (warms the batched compiles)
+    # steady-state warmup ticks (cache-depth effects, not compiles)
     t = 3.0
     for _ in range(N_WARMUP):
         for sid in sids:
@@ -247,9 +273,10 @@ def bench_serving() -> dict:
     # recorded by the server's background collector.
     e2e = engine.metrics.summary("chunk_e2e_latency")
     p50 = e2e.get("p50", float(np.percentile(latencies, 50)))
-    kv_tag = "" if cache_dtype == jnp.bfloat16 else "_int8kv"
+    # metric name stays stable across rounds; the KV dtype (int8 default on
+    # TPU since r3) is recorded in the diagnostics
     return {
-        "metric": f"p50_chunk_latency_{N_STREAMS}streams_{cfg.name}{kv_tag}_{backend}",
+        "metric": f"p50_chunk_latency_{N_STREAMS}streams_{cfg.name}_{backend}",
         "value": round(p50, 4),
         "unit": "s",
         "vs_baseline": round(2.0 / p50, 2),
@@ -258,6 +285,8 @@ def bench_serving() -> dict:
             "throughput_chunks_per_s": round(throughput, 2),
             "streams": N_STREAMS,
             "pace_s": pace,
+            "kv_dtype": "int8" if cache_dtype == jnp.int8 else "bf16",
+            "calibration_tflops": cal["achieved_tflops"],
             "engine_metrics": engine.metrics.summary(),
         },
     }

@@ -190,6 +190,45 @@ def make_detector(params: Params, cfg: ScrfdConfig) -> Callable[[np.ndarray], tu
     return detect_faces
 
 
+def load_onnx_detector(
+    path: str, cfg: ScrfdConfig | None = None
+) -> Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]]:
+    """REAL-weight path: run an insightface SCRFD ONNX graph (buffalo_sc
+    ``det_500m.onnx``) natively in JAX — no onnxruntime.
+
+    The graph is parsed by ``tools.onnx_lite`` (protobuf wire format, no
+    onnx dependency) and executed by ``tools.onnx_jax`` (jit per frame
+    shape). Output contract matches the reference exactly
+    (face_detector.py:40-58): outputs [score_8, score_16, score_32,
+    bbox_8, bbox_16, bbox_32, (kps...)], scores flattened per anchor, bbox
+    distances scaled by stride in ``decode_detections``.
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from livecc_tpu.tools.onnx_jax import build_fn
+    from livecc_tpu.tools.onnx_lite import load_model
+
+    cfg = cfg or ScrfdConfig()
+    model = load_model(path)
+    fn = _jax.jit(build_fn(model))
+    n_levels = len(cfg.strides)
+
+    def detect_faces(frame: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h, w = frame.shape[:2]
+        x = ((frame.astype(np.float32) - 127.5) / 128.0)    # face_detector.py:64
+        x = x.transpose(2, 0, 1)[None]                       # NCHW
+        outs = fn(_jnp.asarray(x))
+        level_outputs = [
+            (np.asarray(outs[i]).reshape(-1),
+             np.asarray(outs[i + n_levels]).reshape(-1, 4))
+            for i in range(n_levels)
+        ]
+        return decode_detections(cfg, level_outputs, h, w)
+
+    return detect_faces
+
+
 def save_npz(path: str, params: Params) -> None:
     np.savez(path, **{_pathstr(k): np.asarray(v)
                       for k, v in _iter_leaves(params)})

@@ -76,3 +76,53 @@ def test_tiny_plan_smoke():
     plan = serving_plan(tiny_config(), n_model=2, streams=4, cache_len=256)
     assert plan.fits and plan.param_count > 0
     assert "fits" in plan.describe()
+
+
+def test_training_plan_2b_dp8_fits():
+    """The reference recipe's shape: 2B, frozen ViT, ZeRO-2 over 8 chips
+    (scripts/deepspeed_zero2.json) fits v5e-8 with the bf16 first moment."""
+    from livecc_tpu.parallel.memory import training_plan
+
+    plan = training_plan(ModelConfig.qwen2_vl_2b(), n_data=8, mu_dtype_bytes=2)
+    assert plan.fits, plan.describe()
+    # frozen visual carries no optimizer state: trainable < total params
+    from livecc_tpu.parallel.memory import count_params
+    assert plan.trainable_params < count_params(ModelConfig.qwen2_vl_2b())
+
+
+def test_training_plan_2b_single_chip_does_not_fit():
+    """Matches the PERF.md observation: full-depth 2B training state (bf16
+    params + fp32 grads + moments) exceeds one 16 GiB chip."""
+    from livecc_tpu.parallel.memory import training_plan
+
+    plan = training_plan(ModelConfig.qwen2_vl_2b(), n_data=1, mu_dtype_bytes=4)
+    assert not plan.fits, plan.describe()
+
+
+def test_training_plan_7b_needs_tp():
+    from livecc_tpu.parallel.memory import training_plan
+
+    dp8 = training_plan(ModelConfig.qwen2_vl_7b(), n_data=8)
+    assert not dp8.fits, dp8.describe()         # 15.5 GB weights alone
+    tp4 = training_plan(ModelConfig.qwen2_vl_7b(), n_data=2, n_model=4,
+                        mu_dtype_bytes=2)
+    assert tp4.fits, tp4.describe()
+
+
+def test_streaming_horizon_matches_observed_exhaustion():
+    """The 720p live grid fills a 16k bf16 pool in about a minute — the
+    round-2 observed session ceiling; compaction makes it unbounded."""
+    from livecc_tpu.parallel.memory import streaming_horizon
+
+    grid = (1, 22, 40)                           # 720p live budget, 2 frames
+    h = streaming_horizon(grid, cache_len=16384, start_len=1024)
+    assert 40 < h.seconds_to_exhaustion < 90
+    assert not h.unbounded
+    hc = streaming_horizon(grid, cache_len=16384, start_len=1024,
+                           compact_keep=8192)
+    assert hc.unbounded
+    assert hc.seconds_between_compactions > 25
+    # sink+window too large for the pool -> still bounded
+    hb = streaming_horizon(grid, cache_len=16384, start_len=1024,
+                           compact_keep=16000)
+    assert not hb.unbounded

@@ -195,3 +195,78 @@ def test_prefix_adoption_small_init_cache_matches():
     srv.flush()
     out = [t for _, t in srv.drain(sid)]
     assert out == ref
+
+
+def test_compact_slot_retains_sink_and_recent():
+    """_compact_slot keeps the sink prefix + the most recent window and
+    resets the row's offset; other rows untouched."""
+    import jax.numpy as jnp
+    from livecc_tpu.models.qwen2_vl.text import KVCache
+    from livecc_tpu.serve.scheduler import _compact_slot
+
+    cfg = tiny_config()
+    c, smax = 3, 64
+    cache = KVCache.zeros(cfg.text, c, smax)
+    # fill row 1 with position-identifying values up to off=48
+    k = np.array(cache.k)                      # writable copy
+    k[:, 1, :, :, 0] = np.arange(smax)[None, None, :]
+    cache = KVCache(jnp.asarray(k), cache.v, cache.offset.at[1].set(48),
+                    cache.k_scale, cache.v_scale)
+    sink, keep = 8, 16
+    out = _compact_slot(cache, jnp.int32(1), jnp.int32(sink), jnp.int32(keep))
+    assert int(out.offset[1]) == sink + keep
+    row = np.asarray(out.k)[:, 1, :, :, 0]
+    np.testing.assert_array_equal(row[0, 0, :sink], np.arange(sink))
+    np.testing.assert_array_equal(row[0, 0, sink:sink + keep],
+                                  np.arange(48 - keep, 48))
+    # untouched rows keep offset 0
+    assert int(out.offset[0]) == 0 and int(out.offset[2]) == 0
+
+
+def test_compaction_keeps_session_alive_past_pool_exhaustion():
+    """A stream whose history would exhaust the pool survives via
+    compaction; positions stay globally continuous (offset+delta invariant)
+    and the session keeps producing output."""
+    engine = build_engine()           # cache_len 512
+    server = StreamServer(engine, gen_for(engine), compact_keep=128,
+                          compact_sink_cap=64)
+    s0 = server.add_stream((28, 28), query="q")
+    server.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+    server.tick()
+    server.flush()
+    s = server._streams[s0]
+    global_len = lambda: s.length_ub + s.rope_delta   # invariant under compaction
+    outs = []
+    t = 3.0
+    compactions = 0
+    for i in range(40):               # way past 512 tokens of history
+        before = engine.metrics.summary("cache_compaction_dropped_tokens").get("n", 0)
+        server.submit_chunk(s0, frames(i + 1), t, t + 1.0)
+        server.tick()
+        server.flush()
+        after = engine.metrics.summary("cache_compaction_dropped_tokens").get("n", 0)
+        if after > before:
+            compactions += 1
+        # the host length shadow must stay an UPPER bound on device depth
+        assert s.length_ub >= int(np.asarray(server.pool_caches.offset[s.slot]))
+        outs.extend(server.drain(s0))
+        t += 1.0
+    assert compactions >= 1, "pool never compacted"
+    assert len(outs) == 41            # init + every steady chunk produced output
+    # device offset stays within the pool; rope positions moved far beyond it
+    assert int(np.asarray(server.pool_caches.offset[s.slot])) <= 512
+    assert global_len() > 512
+
+
+def test_compaction_disabled_raises():
+    engine = build_engine()
+    server = StreamServer(engine, gen_for(engine), compact_keep=0)
+    s0 = server.add_stream((28, 28), query="q")
+    server.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+    server.tick()
+    with pytest.raises(RuntimeError, match="pool cache exhausted"):
+        t = 3.0
+        for i in range(40):
+            server.submit_chunk(s0, frames(i + 1), t, t + 1.0)
+            server.tick()
+            t += 1.0
