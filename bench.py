@@ -292,10 +292,29 @@ def bench_serving() -> dict:
     }
 
 
+def kernel_parity_preamble() -> None:
+    """On-chip parity asserts for the compiled serving kernels (VERDICT r3
+    #6): bf16+int8, layered 5D cache, per-row offsets vs the XLA reference.
+    Raises on breach; errors logged to stderr (and PERF.md per run)."""
+    import sys
+
+    import jax
+
+    if jax.default_backend() != "tpu" or os.environ.get("BENCH_KERNEL_CHECK", "1") == "0":
+        return
+    from tools.check_serving_kernels_tpu import run_checks
+
+    errs = run_checks()
+    print(json.dumps({"diagnostics": {"kernel_parity_max_abs_err": errs}}),
+          file=sys.stderr)
+    sys.stderr.flush()
+
+
 def main() -> None:
     """The LAST stdout line is the headline metric (driver parses last)."""
     import sys
 
+    kernel_parity_preamble()
     results = []
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         results.append(bench_train())

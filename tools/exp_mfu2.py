@@ -200,9 +200,15 @@ def main():
         gc.collect()
         calibrate()
 
-    for probe, remat in [("step", True), ("step_dots", "dots")]:
-        if probe not in probes:
-            continue
+    # full-step probes; repeats allowed (A/B/A/B drift control), each with
+    # fresh state, freed before the next
+    import livecc_tpu.ops.attention as attn_mod
+
+    step_kinds = {"step": (True, "splash"), "step_flash": (True, "flash"),
+                  "step_dots": ("dots", "splash")}
+    for idx, probe in enumerate(p for p in probes if p in step_kinds):
+        remat, impl = step_kinds[probe]
+        attn_mod.TRAIN_ATTN_IMPL = impl
         batch, sup_tokens, _ = build(cfg, grid)
         tcfg = TrainConfig(total_steps=1000, ce_chunk_size=1024, ce_sup_bucket=5120,
                            adam_mu_dtype=jnp.bfloat16, remat=remat)
@@ -217,7 +223,7 @@ def main():
             box["p"], box["o"], m = stf(box["p"], box["o"], batch)
             np.asarray(m["loss"])
 
-        measure(probe, run)
+        measure(f"{probe}#{idx}", run)
         del box, stf, batch
         gc.collect()
         calibrate()
