@@ -135,6 +135,14 @@ def bench_train() -> dict:
     loss = float(np.asarray(metrics["loss"]))   # force completion (CLAUDE.md)
     compile_s = time.perf_counter() - t0
 
+    # Warm PAST the slow first executions: the first 1-2 runs after compile
+    # measure ~3x the steady state (donated buffers still in init layout /
+    # allocator defrag; tools/exp_mfu2.py r3: walls [6.88, 2.25, 2.25, ...]).
+    # A training run's per-step cost is the steady state.
+    for _ in range(2 if on_tpu else 0):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        loss = float(np.asarray(metrics["loss"]))
+
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, metrics = step(params, opt_state, batch)

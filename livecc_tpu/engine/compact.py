@@ -1,0 +1,56 @@
+"""KV-cache compaction: bounded attended window over an unbounded session.
+
+StreamingLLM-style eviction shared by the single-stream engine and the
+serving pool (serve/scheduler.py): retain the ``sink`` prefix (system +
+query + init turn — the attention sink) plus the most recent ``keep``
+tokens of one cache row; drop the middle. Keys keep their original
+absolute rotary encoding, so retained history attends unchanged; the
+caller folds the dropped length into the stream's rope_delta so NEW
+tokens' positions continue globally (``offset + delta`` is invariant).
+
+This is the streaming equivalent of the reference's 24,576-visual-token
+offline cap (video_process_patch.py:11-14). Presence counts (repetition
+penalty) deliberately keep counting evicted tokens — the reference
+penalizes over the full growing history too (past_ids grows unboundedly,
+demo/infer.py:159-174).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from livecc_tpu.models.qwen2_vl.text import KVCache
+
+
+@functools.partial(jax.jit, donate_argnames=("cache",))
+def compact_cache_row(cache: KVCache, row, sink, keep) -> KVCache:
+    """Evict the middle of row ``row``: keep ``[0, sink)`` + the last
+    ``keep`` positions before its offset; set the row's offset to
+    ``min(offset, sink + keep)``. ``row``/``sink``/``keep`` are traced
+    scalars — one compiled program serves every row and window choice.
+    Other rows are untouched.
+    """
+    off = cache.offset[row]
+    new_off = jnp.minimum(off, sink + keep)
+    smax = cache.max_len
+
+    def gather_positions(arr, axis):
+        # index map: i < sink -> i ; else -> off - keep + (i - sink),
+        # clamped into [0, smax) (positions beyond new_off are dead).
+        r = jax.lax.dynamic_index_in_dim(arr, row, axis=1, keepdims=False)
+        i = jnp.arange(smax)
+        idx = jnp.where(i < sink, i, off - keep + (i - sink))
+        idx = jnp.clip(idx, 0, smax - 1)
+        new_r = jnp.take(r, idx, axis=axis)
+        return jax.lax.dynamic_update_index_in_dim(arr, new_r, row, axis=1)
+
+    g_kv = lambda a: None if a is None else gather_positions(a, axis=-2)
+    g_sc = lambda a: None if a is None else gather_positions(a, axis=-1)
+    return KVCache(
+        g_kv(cache.k), g_kv(cache.v),
+        cache.offset.at[row].set(new_off),
+        g_sc(cache.k_scale), g_sc(cache.v_scale),
+    )

@@ -84,6 +84,8 @@ class LiveCCEngine:
         cache_len: int = 8192,
         cache_dtype=jnp.float32,
         use_flash: bool | None = None,
+        compact_keep: int | None = None,
+        compact_sink_cap: int = 1024,
     ):
         self.params = params
         self.cfg = cfg
@@ -91,6 +93,12 @@ class LiveCCEngine:
         self.budget = budget or VisionBudget()
         self.cache_len = cache_len
         self.cache_dtype = cache_dtype
+        # Solo-stream session horizon: once a stream's cache has doubled up
+        # to ``cache_len``, evict (sink + recent window) instead of growing
+        # further. None = auto (half the ceiling); 0 disables (cache then
+        # doubles without bound — the reference's own behavior).
+        self.compact_keep = cache_len // 2 if compact_keep is None else compact_keep
+        self.compact_sink_cap = compact_sink_cap
         self.sys_offset = chat.system_prompt_offset()
         # ' ...' continuation marker token (reference demo/infer.py:49)
         ids = tokenizer.encode(" ...")
@@ -121,6 +129,25 @@ class LiveCCEngine:
         cap = state.cache.max_len
         if off + needed <= cap:
             return
+        # At the engine ceiling, stop growing and COMPACT instead (sink
+        # prefix + recent window; engine/compact.py): unbounded session on
+        # a bounded cache, same policy the serving pool applies.
+        if cap >= self.cache_len and self.compact_keep:
+            from livecc_tpu.engine.compact import compact_cache_row
+
+            old_off = int(np.asarray(state.cache.offset[0]))
+            sink = min(self.compact_sink_cap, old_off)
+            keep = min(self.compact_keep, cap)
+            new_off = min(old_off, sink + keep)
+            if new_off < old_off and new_off + needed <= cap:
+                state.cache = compact_cache_row(
+                    state.cache, jnp.int32(0), jnp.int32(sink), jnp.int32(keep)
+                )
+                state.rope_delta += old_off - new_off
+                state.length = new_off
+                self.metrics.record("cache_compaction_dropped_tokens",
+                                    float(old_off - new_off))
+                return
         new_cap = cap
         while off + needed > new_cap:
             new_cap *= 2

@@ -129,44 +129,7 @@ def _insert_slot(pool_cache, pool_counts, pool_last, slot, cache, counts, last):
     return new_cache, pool_counts.at[slot].set(counts[0]), pool_last.at[slot].set(last)
 
 
-@functools.partial(jax.jit, donate_argnames=("pool_cache",))
-def _compact_slot(pool_cache: KVCache, slot, sink, keep):
-    """StreamingLLM-style cache compaction for ONE pool row: retain the
-    ``sink`` prefix (system+query+init turn — the attention sink) plus the
-    most recent ``keep`` tokens; drop the middle.
-
-    Keys keep their original (absolute) rotary encoding, so retained
-    history attends unchanged; the caller folds the dropped length into the
-    stream's rope_delta so NEW tokens' positions continue globally
-    (positions = cache.offset + delta stays invariant). This is the
-    streaming equivalent of the reference's 24,576-visual-token offline cap
-    (video_process_patch.py:11-14): a bounded attended window over an
-    unbounded session.
-
-    ``slot``/``sink``/``keep`` are traced scalars — one compiled program
-    serves every stream and any sink/window choice.
-    """
-    off = pool_cache.offset[slot]
-    new_off = jnp.minimum(off, sink + keep)
-    smax = pool_cache.max_len
-
-    def gather_positions(arr, axis):
-        # index map: i < sink -> i ; else -> off - keep + (i - sink),
-        # clamped into [0, smax) (positions beyond new_off are dead).
-        row = jax.lax.dynamic_index_in_dim(arr, slot, axis=1, keepdims=False)
-        i = jnp.arange(smax)
-        idx = jnp.where(i < sink, i, off - keep + (i - sink))
-        idx = jnp.clip(idx, 0, smax - 1)
-        new_row = jnp.take(row, idx, axis=axis)
-        return jax.lax.dynamic_update_index_in_dim(arr, new_row, slot, axis=1)
-
-    g_kv = lambda a: None if a is None else gather_positions(a, axis=-2)
-    g_sc = lambda a: None if a is None else gather_positions(a, axis=-1)
-    return KVCache(
-        g_kv(pool_cache.k), g_kv(pool_cache.v),
-        pool_cache.offset.at[slot].set(new_off),
-        g_sc(pool_cache.k_scale), g_sc(pool_cache.v_scale),
-    )
+from livecc_tpu.engine.compact import compact_cache_row as _compact_slot
 
 
 @dataclasses.dataclass

@@ -71,3 +71,29 @@ def test_cache_growth(engine):
     state.cache = state.cache.__class__.zeros(engine.cfg.text, 1, 64)  # tiny cache
     engine.chunk_step(state, synth_frames(6), 0.0, 3.0, "q", gen)
     assert state.cache.max_len >= 128  # grew beyond the initial 64
+
+
+def test_solo_cache_compaction_at_ceiling():
+    """At the engine cache ceiling the solo stream COMPACTS (sink + recent
+    window) instead of growing: unbounded session on a bounded cache, with
+    positions staying globally continuous (offset+delta invariant)."""
+    g = np.load(GOLDEN)
+    cfg = tiny_config()
+    state_d = {k[len("state::"):]: g[k] for k in g.files if k.startswith("state::")}
+    params = m.convert_state_dict(state_d, cfg)
+    eng = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=256,
+                       compact_keep=96, compact_sink_cap=64)
+    gen = GenerationParams(max_new_tokens=4, eos_token_id=cfg.eos_token_id,
+                           pad_token_id=cfg.pad_token_id)
+    st = eng.new_stream()
+    eng.chunk_step(st, synth_frames(6), 0.0, 3.0, "q", gen)
+    t = 3.0
+    for i in range(20):                   # would need ~1000+ tokens unbounded
+        eng.chunk_step(st, synth_frames(2, seed=i + 1), t, t + 1.0, None, gen)
+        t += 1.0
+        # device offset mirrors host length exactly on the solo path
+        assert st.length == int(np.asarray(st.cache.offset[0]))
+    assert eng.metrics.summary("cache_compaction_dropped_tokens").get("n", 0) >= 1
+    assert st.cache.max_len == 256        # never grew past the ceiling
+    # global stream position advanced far beyond the physical cache
+    assert st.length + st.rope_delta > 600
