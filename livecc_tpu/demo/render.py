@@ -85,9 +85,17 @@ def render_commentary_video(
     *,
     fps: int = 10,
     max_seconds: float | None = None,
-    tts: Optional[Callable[[str], tuple[np.ndarray, int]]] = None,
+    tts: Optional[Callable[[str], tuple[np.ndarray, int]]] = "default",
 ) -> str:
-    """Burn query/commentary bubbles into the video (reference video.py)."""
+    """Burn query/commentary bubbles into the video (reference video.py).
+
+    ``tts``: "default" uses the built-in formant synthesizer
+    (audio/tts.py — the offline stand-in for the reference's Kokoro,
+    video.py:37-49); a callable substitutes any engine; None disables the
+    sidecar WAV.
+    """
+    if tts == "default":
+        from livecc_tpu.audio.tts import synthesize as tts
     with open(result_json) as f:
         result = json.load(f)
     reader = VideoReader(result["video_path"])

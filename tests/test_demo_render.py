@@ -80,3 +80,23 @@ def test_demo_http_server(video, monkeypatch):
         assert isinstance(answer, str)
     finally:
         httpd.shutdown()
+
+
+def test_builtin_tts_synthesis():
+    """The built-in formant TTS honors the tts(text)->(samples, rate)
+    contract: audible, bounded, deterministic, longer for longer text."""
+    from livecc_tpu.audio.tts import synthesize, text_to_phonemes
+
+    wav, rate = synthesize("and the striker scores a goal")
+    assert rate == 16000
+    assert wav.dtype == np.float32
+    assert 0.2 < np.max(np.abs(wav)) <= 0.8       # normalized, non-silent
+    assert len(wav) > rate // 2                   # > 0.5 s of speech
+    wav2, _ = synthesize("and the striker scores a goal")
+    np.testing.assert_array_equal(wav, wav2)      # deterministic
+    short, _ = synthesize("go")
+    assert len(short) < len(wav)
+    # numbers and punctuation are speakable
+    assert text_to_phonemes("Time 3 to 4!")
+    w3, _ = synthesize("Time=3.0-4.0s")
+    assert len(w3) > 0
