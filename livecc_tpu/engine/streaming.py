@@ -82,7 +82,7 @@ class LiveCCEngine:
         *,
         budget: VisionBudget | None = None,
         cache_len: int = 8192,
-        cache_dtype=jnp.float32,
+        cache_dtype=None,
         use_flash: bool | None = None,
         compact_keep: int | None = None,
         compact_sink_cap: int = 1024,
@@ -92,6 +92,12 @@ class LiveCCEngine:
         self.tokenizer = tokenizer
         self.budget = budget or VisionBudget()
         self.cache_len = cache_len
+        # KV dtype default: bf16 on TPU (half the f32 HBM; the serving
+        # bench further opts into int8 — see parallel/memory.py horizon
+        # math), fp32 elsewhere (the CPU/parity test path).
+        if cache_dtype is None:
+            cache_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                           else jnp.float32)
         self.cache_dtype = cache_dtype
         # Solo-stream session horizon: once a stream's cache has doubled up
         # to ``cache_len``, evict (sink + recent window) instead of growing
