@@ -221,23 +221,50 @@ def decode_chunk(
         return (step_logits[:, -1], new_cache, now_stopped, counts, key), (token_out, ~stopped)
 
     stopped0 = jnp.zeros((b,), jnp.bool_) if active is None else jnp.broadcast_to(~active, (b,))
-    init = (logits0, cache, stopped0, counts, rng)
     # Only the first max_new_tokens - 1 sampled tokens are ever forwarded
     # (the final one's KV never enters history — reference past_ids =
-    # sequences[:, :-1], demo/infer.py:174), so the scan runs one forward
-    # fewer than tokens sampled; the last token comes from a sample-only
-    # epilogue. Saves 1/max_new_tokens of decode compute per chunk.
-    (logits_f, cache, stopped_f, counts, key_f), (tokens, emitted) = lax.scan(
-        step, init, jnp.arange(gen.max_new_tokens - 1)
+    # sequences[:, :-1], demo/infer.py:174); the last token comes from a
+    # sample-only epilogue. The loop EXITS EARLY once every row has
+    # stopped: real commentary chunks are typically a few words + ' ...'
+    # (threshold processor), so production ticks skip most of the
+    # max_new_tokens-1 forwards — output-identical to the full loop
+    # (stopped rows only ever emit pad).
+    n_steps = gen.max_new_tokens - 1
+    tokens_buf = jnp.full((b, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
+    emitted_buf = jnp.zeros((b, gen.max_new_tokens), jnp.bool_)
+
+    def cond(carry):
+        i, logits, cache, stopped, counts, key, tokens_buf, emitted_buf = carry
+        return (i < n_steps) & ~jnp.all(stopped)
+
+    def body(carry):
+        i, logits, cache, stopped, counts, key, tokens_buf, emitted_buf = carry
+        (logits, cache, now_stopped, counts, key), (token_out, emit) = step(
+            (logits, cache, stopped, counts, key), i
+        )
+        tokens_buf = lax.dynamic_update_slice(tokens_buf, token_out[:, None], (0, i))
+        emitted_buf = lax.dynamic_update_slice(emitted_buf, emit[:, None], (0, i))
+        return (i + 1, logits, cache, now_stopped, counts, key, tokens_buf, emitted_buf)
+
+    (_, logits_f, cache, stopped_f, counts, key_f, tokens_buf, emitted_buf) = lax.while_loop(
+        cond, body,
+        (jnp.int32(0), logits0, cache, stopped0, counts, rng, tokens_buf, emitted_buf),
     )
     _, sub = jax.random.split(key_f)
     _, last_out, counts = sample(logits_f, counts, stopped_f, sub,
-                                 jnp.int32(gen.max_new_tokens - 1))
-    # max_new_tokens == 1: the scan ys are (0, B), so the concatenate
-    # degenerates to just the epilogue token — no special case needed.
-    tokens = jnp.concatenate([tokens.T, last_out[:, None]], axis=1)  # [B, max_new]
-    emitted = jnp.concatenate([emitted.T, ~stopped_f[:, None]], axis=1)
-    n_gen = jnp.sum(emitted, axis=-1).astype(jnp.int32)
+                                 jnp.int32(n_steps))
+    # The epilogue token lands right after each row's emitted prefix (all
+    # rows stop at the same iteration count or earlier; emitted prefixes
+    # are contiguous, pads follow) — placing it at the LAST column kept
+    # the old fixed-length layout; with early exit it must follow the
+    # prefix, i.e. at the first un-emitted column of still-active rows.
+    n_prefix = jnp.sum(emitted_buf, axis=-1).astype(jnp.int32)       # [B]
+    rows = jnp.arange(b)
+    tokens = tokens_buf.at[rows, n_prefix].set(
+        jnp.where(stopped_f, tokens_buf[rows, n_prefix], last_out)
+    )
+    emitted_last = ~stopped_f
+    n_gen = n_prefix + emitted_last.astype(jnp.int32)
     return tokens, n_gen, cache, counts
 
 

@@ -38,6 +38,9 @@ def main(argv=None):
                         help="Adam first-moment dtype; bf16 halves that buffer "
                              "(fp32 matches DeepSpeed)")
     parser.add_argument("--with_context", action="store_true")
+    parser.add_argument("--dataloader_num_workers", type=int, default=4,
+                        help="per-sample decode/collate threads in the "
+                             "prefetch (reference: --dataloader_num_workers 16)")
     parser.add_argument("--overwrite_output_dir", action="store_true",
                         help="start fresh instead of resuming (train.py:29)")
     parser.add_argument("--mesh", default=None, metavar="DATAxMODEL",
@@ -85,6 +88,7 @@ def main(argv=None):
         save_steps=args.save_steps,
         log_steps=args.log_steps,
         resume=not args.overwrite_output_dir,
+        loader_workers=args.dataloader_num_workers,
     )
     mesh = None
     if args.mesh:

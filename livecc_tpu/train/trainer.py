@@ -44,6 +44,10 @@ class TrainerConfig:
     log_steps: int = 10
     seed: int = 0
     resume: bool = True
+    # per-sample decode/collate threads inside the prefetch (the
+    # reference's dataloader_num_workers; threads suffice because the
+    # native decoder releases the GIL)
+    loader_workers: int = 4
 
 
 class Trainer:
@@ -196,7 +200,16 @@ class Trainer:
         return [rng.randrange(n // n_hosts) * n_hosts + host for _ in range(count)]
 
     def _load_batch(self, indices: list[int]):
-        samples = [self.dataset[i] for i in indices]
+        if self.run.loader_workers > 1:
+            # per-sample fan-out: the native decoder releases the GIL
+            # inside FFmpeg, so threads scale with host cores (the
+            # reference's dataloader_num_workers=16, scripts/pt_local.sh)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.run.loader_workers) as p:
+                samples = list(p.map(self.dataset.__getitem__, indices))
+        else:
+            samples = [self.dataset[i] for i in indices]
         return self._place_batch(collate(samples, self.cfg, rows=self.batch_rows))
 
     def train(self) -> dict:
@@ -204,8 +217,10 @@ class Trainer:
 
         The reference hides data latency behind 16 DataLoader worker
         processes (lmm_dataset.py __main__, num_workers=16); here a
-        background thread decodes/collates batch N+1 (video decode releases
-        the GIL in the native library) while the device runs step N.
+        background thread decodes/collates batch N+1 (with
+        ``loader_workers`` per-sample decode threads — video decode
+        releases the GIL in the native library) while the device runs
+        step N.
         """
         from concurrent.futures import ThreadPoolExecutor
 

@@ -209,3 +209,53 @@ def test_decode_single_token_and_prefix_consistency(setup):
     assert len(out[1]) == 1
     assert out[5][:1] == out[1]
     assert out[9][:5] == out[5]
+
+
+def test_decode_early_stop_semantics():
+    """Rows stopping at different steps: emitted prefixes are contiguous,
+    pads follow, n_gen counts prefix(+epilogue), and the cache offset
+    advances by the forwarded tokens only — the early-exit while_loop must
+    be output-identical to the fixed-length loop it replaced."""
+    import jax
+    import jax.numpy as jnp
+    from livecc_tpu.engine.generation import GenerationParams, decode_chunk
+    from livecc_tpu.models.qwen2_vl.text import KVCache
+    from livecc_tpu.models.qwen2_vl.model import init_params
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    b, v = 3, cfg.text.vocab_size
+    base = np.zeros((b, v), np.float32)
+    # row 0 greedily emits token 42 forever; row 1 emits eos IMMEDIATELY;
+    # row 2 inactive
+    base[0, 42] = 10.0
+    base[1, cfg.eos_token_id] = 10.0
+    base[2, 7] = 10.0
+    gen = GenerationParams(max_new_tokens=5, eos_token_id=cfg.eos_token_id,
+                           pad_token_id=cfg.pad_token_id)
+    import dataclasses
+
+    cache = KVCache.zeros(cfg.text, b, 64)
+    cache = dataclasses.replace(cache, offset=jnp.asarray([8, 8, 8], jnp.int32))
+    counts = jnp.zeros((b, v), jnp.int32)
+    delta = jnp.zeros((b, 1), jnp.int32)
+    active = jnp.asarray([True, True, False])
+    tokens, n_gen, cache2, counts2 = decode_chunk(
+        params, cfg, gen, jnp.asarray(base), cache, counts, delta,
+        jax.random.PRNGKey(0), active=active,
+    )
+    tokens = np.asarray(tokens)
+    n_gen = np.asarray(n_gen)
+    # row 1: emits exactly the eos then stops
+    assert n_gen[1] == 1 and tokens[1, 0] == cfg.eos_token_id
+    assert (tokens[1, 1:] == gen.pad_token_id).all()
+    # row 2 inactive: nothing
+    assert n_gen[2] == 0 and (tokens[2] == gen.pad_token_id).all()
+    # row 0: ran to max_new (model-driven continuation)
+    assert n_gen[0] == gen.max_new_tokens
+    # cache offsets: row advances by forwarded tokens = n_gen-1 (last token
+    # never forwarded), stopped/inactive rows by their forwarded count
+    off = np.asarray(cache2.offset)
+    assert off[0] == 8 + gen.max_new_tokens - 1
+    assert off[1] == 8            # eos sampled first -> nothing forwarded
+    assert off[2] == 8

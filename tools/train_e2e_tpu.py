@@ -88,8 +88,16 @@ def main() -> None:
     tmp = "/tmp/train_e2e"
     os.makedirs(tmp, exist_ok=True)
     ann = ensure_corpus(tmp)
+    # Cap the visual budget for the smoke: the full LiveCC training budget
+    # gives a short clip ~25k visual tokens (a 32k bucket / ~98k-patch ViT
+    # program — the relay's compile helper crashes on it); 96*28*28 per
+    # frame yields the serving-class shape instead (~110 tokens/frame).
+    from livecc_tpu.vision_io.budget import VisionBudget
+
+    budget = VisionBudget(video_max_pixels=96 * 28 * 28,
+                          video_total_pixels=96 * 28 * 28 * 2 * CLIP_S)
     ds = LMMDataset(annotation_paths=[ann], tokenizer=ByteTokenizer.for_config(cfg),
-                    cfg=cfg)
+                    cfg=cfg, budget=budget)
 
     params = init_params(cfg, jax.random.PRNGKey(0),
                          dtype=jnp.bfloat16 if on_tpu else jnp.float32)
