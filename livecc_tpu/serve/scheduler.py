@@ -238,6 +238,99 @@ class StreamServer:
         self._join_collector()
         self._collect()
 
+    # -- snapshot / restore (serving failure recovery) --------------------
+
+    def snapshot(self, path: str) -> None:
+        """Persist every ADOPTED stream's session (KV cache row, presence
+        counts, rope_delta, host metadata) to one .npz: a server process
+        restart resumes live sessions mid-video instead of dropping them.
+        The reference has no serving-recovery story (one stream per
+        process, state in RAM only); orbax covers training resume — this
+        is the serving analogue. Streams still in their init chunk are not
+        snapshotted (they re-join with a fresh init chunk).
+        """
+        self.flush()
+        arrays: dict[str, np.ndarray] = {}
+        meta = []
+        for s in self._streams.values():
+            if s.slot is None:
+                continue
+            slot = s.slot
+            arrays[f"k_{s.sid}"] = np.asarray(self.pool_caches.k[:, slot])
+            arrays[f"v_{s.sid}"] = np.asarray(self.pool_caches.v[:, slot])
+            if self.pool_caches.quantized:
+                arrays[f"ks_{s.sid}"] = np.asarray(self.pool_caches.k_scale[:, slot])
+                arrays[f"vs_{s.sid}"] = np.asarray(self.pool_caches.v_scale[:, slot])
+            arrays[f"counts_{s.sid}"] = np.asarray(self.pool_counts[slot])
+            meta.append({
+                "sid": s.sid, "resolution": list(s.resolution),
+                "query": s.query, "query_sent": s.query_sent,
+                "rope_delta": s.rope_delta, "length_ub": s.length_ub,
+                "sink_len": s.sink_len,
+                "offset": int(np.asarray(self.pool_caches.offset[slot])),
+                "last": int(np.asarray(self.pool_last[slot])),
+            })
+        import json as _json
+
+        arrays["__meta__"] = np.frombuffer(
+            _json.dumps({"streams": meta, "cache_len": self.engine.cache_len,
+                         "dtype": str(np.dtype(self.engine.cache_dtype))}).encode(),
+            np.uint8,
+        )
+        np.savez(path, **arrays)
+
+    def restore(self, path: str) -> list[int]:
+        """Re-adopt snapshotted sessions into this server's pool; returns
+        the restored stream ids (renumbered). Cache rows longer than this
+        pool raise (same contract as adoption)."""
+        import json as _json
+
+        data = np.load(path)
+        meta = _json.loads(bytes(data["__meta__"].tobytes()).decode())
+        self._ensure_pool()
+        restored = []
+        for m in meta["streams"]:
+            if not self._free:
+                raise RuntimeError("restore: server out of slots")
+            old = m["sid"]
+            sid = self._next_sid
+            self._next_sid += 1
+            slot = self._free.pop(0)
+            off = m["offset"]
+            if off > self.pool_caches.max_len:
+                raise RuntimeError("restored cache longer than this pool")
+
+            def put(pool_arr, arr, scale=False):
+                if pool_arr is None:
+                    return None
+                a = jnp.asarray(arr)
+                if scale:
+                    s_len = min(a.shape[-1], pool_arr.shape[-1])
+                    return pool_arr.at[:, slot, ..., :s_len].set(a[..., :s_len])
+                s_len = min(a.shape[-2], pool_arr.shape[-2])
+                return pool_arr.at[:, slot, :, :s_len, :].set(a[:, :, :s_len, :])
+
+            self.pool_caches = KVCache(
+                put(self.pool_caches.k, data[f"k_{old}"]),
+                put(self.pool_caches.v, data[f"v_{old}"]),
+                self.pool_caches.offset.at[slot].set(off),
+                put(self.pool_caches.k_scale, data.get(f"ks_{old}"), scale=True)
+                if self.pool_caches.quantized else None,
+                put(self.pool_caches.v_scale, data.get(f"vs_{old}"), scale=True)
+                if self.pool_caches.quantized else None,
+            )
+            self.pool_counts = self.pool_counts.at[slot].set(
+                jnp.asarray(data[f"counts_{old}"]))
+            self.pool_last = self.pool_last.at[slot].set(m["last"])
+            self._streams[sid] = Stream(
+                sid=sid, resolution=tuple(m["resolution"]), query=m["query"],
+                query_sent=m["query_sent"], slot=slot,
+                rope_delta=m["rope_delta"], length_ub=m["length_ub"],
+                sink_len=m["sink_len"],
+            )
+            restored.append(sid)
+        return restored
+
     def _vision_aux(self, grid, n_pad):
         """Shared rotary/segment tables for a resolution class (cached on
         device via the engine's per-grid cache)."""

@@ -270,3 +270,42 @@ def test_compaction_disabled_raises():
             server.submit_chunk(s0, frames(i + 1), t, t + 1.0)
             server.tick()
             t += 1.0
+
+
+def test_snapshot_restore_resumes_sessions(tmp_path):
+    """A server restart restores live sessions mid-video: the restored
+    server produces EXACTLY the continuation the uninterrupted server
+    would (same cache rows, counts, rope deltas)."""
+    engine_a = build_engine()
+    server_a = StreamServer(engine_a, gen_for(engine_a))
+    s0 = server_a.add_stream((28, 28), query="q")
+    s1 = server_a.add_stream((28, 28), query="w")
+    server_a.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+    server_a.submit_chunk(s1, frames(9, 6), 0.0, 3.0)
+    server_a.tick()
+    server_a.submit_chunk(s0, frames(1), 3.0, 4.0)
+    server_a.submit_chunk(s1, frames(8), 3.0, 4.0)
+    server_a.tick()
+    server_a.flush()
+    server_a.drain(s0), server_a.drain(s1)
+    path = str(tmp_path / "sessions.npz")
+    server_a.snapshot(path)
+    # uninterrupted continuation (the reference trace)
+    server_a.submit_chunk(s0, frames(2), 4.0, 5.0)
+    server_a.submit_chunk(s1, frames(7), 4.0, 5.0)
+    server_a.tick()
+    server_a.flush()
+    ref0 = [t for _, t in server_a.drain(s0)]
+    ref1 = [t for _, t in server_a.drain(s1)]
+
+    # "crashed" process: fresh engine + server, restore, continue
+    engine_b = build_engine()
+    server_b = StreamServer(engine_b, gen_for(engine_b))
+    r0, r1 = server_b.restore(path)
+    server_b.submit_chunk(r0, frames(2), 4.0, 5.0)
+    server_b.submit_chunk(r1, frames(7), 4.0, 5.0)
+    server_b.tick()
+    server_b.flush()
+    out0 = [t for _, t in server_b.drain(r0)]
+    out1 = [t for _, t in server_b.drain(r1)]
+    assert out0 == ref0 and out1 == ref1
