@@ -239,6 +239,12 @@ def bench_serving() -> dict:
             server.submit_chunk(sid, frames(2), t, t + 1.0)
         server.tick()
         t += 1.0
+    server.flush()
+    for sid in sids:
+        server.drain(sid)
+    # diagnostics describe ONLY the timed phase: init/warmup chunk_steps
+    # and their (relay-variance-prone) walls are setup, not measurement
+    engine.metrics.reset()
 
     # Timed phase: pipelined server — tick N's text is drained while tick
     # N+1 computes. Latency per chunk = submit -> drained; throughput =

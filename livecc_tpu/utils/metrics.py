@@ -41,6 +41,11 @@ class LatencyTracker:
         if len(buf) > self.max_samples:           # reservoir-ish: keep recent
             del buf[: len(buf) - self.max_samples]
 
+    def reset(self) -> None:
+        """Drop all samples (e.g. after a warmup phase, so summaries
+        describe only the measured steady state)."""
+        self._samples.clear()
+
     def summary(self, name: str | None = None) -> dict:
         names = [name] if name else sorted(self._samples)
         out = {}
