@@ -37,13 +37,18 @@ def compact_cache_row(cache: KVCache, row, sink, keep) -> KVCache:
     new_off = jnp.minimum(off, sink + keep)
     smax = cache.max_len
 
+    # When the window already covers the whole history (off <= sink+keep)
+    # the gather map would fold positions in [sink, off) through negative
+    # indices — compaction must be an exact no-op instead.
+    noop = off <= sink + keep
+
     def gather_positions(arr, axis):
         # index map: i < sink -> i ; else -> off - keep + (i - sink),
         # clamped into [0, smax) (positions beyond new_off are dead).
         r = jax.lax.dynamic_index_in_dim(arr, row, axis=1, keepdims=False)
         i = jnp.arange(smax)
         idx = jnp.where(i < sink, i, off - keep + (i - sink))
-        idx = jnp.clip(idx, 0, smax - 1)
+        idx = jnp.where(noop, i, jnp.clip(idx, 0, smax - 1))
         new_r = jnp.take(r, idx, axis=axis)
         return jax.lax.dynamic_update_index_in_dim(arr, new_r, row, axis=1)
 

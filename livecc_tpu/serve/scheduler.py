@@ -256,11 +256,14 @@ class StreamServer:
             if s.slot is None:
                 continue
             slot = s.slot
-            arrays[f"k_{s.sid}"] = np.asarray(self.pool_caches.k[:, slot])
-            arrays[f"v_{s.sid}"] = np.asarray(self.pool_caches.v[:, slot])
+            # npz has no bf16: persist floats as fp32 (exact for bf16)
+            as_np = lambda a: (np.asarray(a, np.float32)
+                               if a.dtype == jnp.bfloat16 else np.asarray(a))
+            arrays[f"k_{s.sid}"] = as_np(self.pool_caches.k[:, slot])
+            arrays[f"v_{s.sid}"] = as_np(self.pool_caches.v[:, slot])
             if self.pool_caches.quantized:
-                arrays[f"ks_{s.sid}"] = np.asarray(self.pool_caches.k_scale[:, slot])
-                arrays[f"vs_{s.sid}"] = np.asarray(self.pool_caches.v_scale[:, slot])
+                arrays[f"ks_{s.sid}"] = as_np(self.pool_caches.k_scale[:, slot])
+                arrays[f"vs_{s.sid}"] = as_np(self.pool_caches.v_scale[:, slot])
             arrays[f"counts_{s.sid}"] = np.asarray(self.pool_counts[slot])
             meta.append({
                 "sid": s.sid, "resolution": list(s.resolution),
@@ -303,7 +306,7 @@ class StreamServer:
             def put(pool_arr, arr, scale=False):
                 if pool_arr is None:
                     return None
-                a = jnp.asarray(arr)
+                a = jnp.asarray(arr).astype(pool_arr.dtype)   # fp32 npz -> bf16
                 if scale:
                     s_len = min(a.shape[-1], pool_arr.shape[-1])
                     return pool_arr.at[:, slot, ..., :s_len].set(a[..., :s_len])

@@ -309,3 +309,60 @@ def test_snapshot_restore_resumes_sessions(tmp_path):
     out0 = [t for _, t in server_b.drain(r0)]
     out1 = [t for _, t in server_b.drain(r1)]
     assert out0 == ref0 and out1 == ref1
+
+
+def test_compact_noop_when_window_covers_history():
+    """sink + keep >= offset: compaction must be an exact no-op (boundary
+    correctness — the quality-affecting path only ever triggers when
+    history genuinely exceeds the window)."""
+    import jax.numpy as jnp
+    from livecc_tpu.engine.compact import compact_cache_row
+    from livecc_tpu.models.qwen2_vl.text import KVCache
+
+    cfg = tiny_config()
+    cache = KVCache.zeros(cfg.text, 2, 64)
+    k = np.array(cache.k)
+    k[:, 1, :, :, 0] = np.arange(64)[None, None, :]
+    cache = KVCache(jnp.asarray(k), cache.v, cache.offset.at[1].set(20),
+                    cache.k_scale, cache.v_scale)
+    out = compact_cache_row(cache, jnp.int32(1), jnp.int32(8), jnp.int32(40))
+    assert int(out.offset[1]) == 20                    # unchanged
+    np.testing.assert_array_equal(np.asarray(out.k)[:, 1, :, :20, 0],
+                                  np.asarray(k)[:, 1, :, :20, 0])
+
+
+def test_snapshot_restore_int8_pool(tmp_path):
+    """Snapshot/restore round-trips the QUANTIZED pool (int8 rows + lane-
+    major scales) with token-identical continuation."""
+    import jax.numpy as jnp
+
+    g = np.load(GOLDEN)
+    cfg = tiny_config()
+    state = {k[len("state::"):]: g[k] for k in g.files if k.startswith("state::")}
+    params = m.convert_state_dict(state, cfg)
+
+    def mk():
+        eng = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=512,
+                           cache_dtype=jnp.int8)
+        return eng, StreamServer(eng, gen_for(eng))
+
+    _, server_a = mk()
+    s0 = server_a.add_stream((28, 28), query="q")
+    server_a.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+    server_a.tick()
+    server_a.flush()
+    server_a.drain(s0)
+    path = str(tmp_path / "int8.npz")
+    server_a.snapshot(path)
+    server_a.submit_chunk(s0, frames(1), 3.0, 4.0)
+    server_a.tick()
+    server_a.flush()
+    ref = [t for _, t in server_a.drain(s0)]
+
+    _, server_b = mk()
+    (r0,) = server_b.restore(path)
+    assert server_b.pool_caches.quantized
+    server_b.submit_chunk(r0, frames(1), 3.0, 4.0)
+    server_b.tick()
+    server_b.flush()
+    assert [t for _, t in server_b.drain(r0)] == ref
