@@ -247,7 +247,9 @@ class StreamServer:
         The reference has no serving-recovery story (one stream per
         process, state in RAM only); orbax covers training resume — this
         is the serving analogue. Streams still in their init chunk are not
-        snapshotted (they re-join with a fresh init chunk).
+        snapshotted (they re-join with a fresh init chunk), and PENDING
+        (submitted, un-ticked) chunks are not persisted — snapshot after a
+        tick+drain boundary.
         """
         self.flush()
         arrays: dict[str, np.ndarray] = {}
@@ -290,6 +292,12 @@ class StreamServer:
 
         data = np.load(path)
         meta = _json.loads(bytes(data["__meta__"].tobytes()).decode())
+        want = str(np.dtype(self.engine.cache_dtype))
+        if meta.get("dtype") != want:
+            raise ValueError(
+                f"snapshot KV dtype {meta.get('dtype')} != engine {want}; "
+                "restore into an engine with the same cache_dtype"
+            )
         self._ensure_pool()
         restored = []
         for m in meta["streams"]:
