@@ -42,7 +42,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_cache")
 
 N_STREAMS = int(os.environ.get("BENCH_STREAMS", 8))
 N_WARMUP = 2
-N_TICKS = 10
+# 30 timed ticks: the relay shows spontaneous ~20 s stalls at warm shapes
+# (PERF.md); in a 10-tick phase one stall dominated the p50 (r3 final
+# validation run), 30 ticks amortize it to a tail event.
+N_TICKS = int(os.environ.get("BENCH_TICKS", 30))
 # v5e bf16 peak; override for other chips (v4: 275, v5p: 459).
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
 
