@@ -18,7 +18,8 @@ import argparse
 import json
 
 
-def build_engine(model_path: str | None, cache_len: int = 8192):
+def build_engine(model_path: str | None, cache_len: int = 8192,
+                 quantize_weights: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +39,8 @@ def build_engine(model_path: str | None, cache_len: int = 8192):
         params = init_params(cfg, jax.random.PRNGKey(0))
         tokenizer = ByteTokenizer()
         cache_dtype = jnp.float32
-    return LiveCCEngine(params, cfg, tokenizer, cache_len=cache_len, cache_dtype=cache_dtype)
+    return LiveCCEngine(params, cfg, tokenizer, cache_len=cache_len,
+                        cache_dtype=cache_dtype, quantize_weights=quantize_weights)
 
 
 def main(argv=None):
@@ -51,12 +53,14 @@ def main(argv=None):
     parser.add_argument("--output", default=None)
     parser.add_argument("--streaming-eos-base-threshold", type=float, default=0.0)
     parser.add_argument("--streaming-eos-threshold-step", type=float, default=0.0)
+    parser.add_argument("--quantize-weights", action="store_true",
+                        help="weight-only int8 LLM weights (half the HBM; ops/quant.py)")
     args = parser.parse_args(argv)
 
     from livecc_tpu.engine import GenerationParams
     from livecc_tpu.engine.live import LiveCC
 
-    engine = build_engine(args.model)
+    engine = build_engine(args.model, quantize_weights=args.quantize_weights)
     gen = GenerationParams(
         max_new_tokens=args.max_new_tokens,
         eos_token_id=engine.cfg.eos_token_id,

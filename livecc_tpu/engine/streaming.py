@@ -86,7 +86,14 @@ class LiveCCEngine:
         use_flash: bool | None = None,
         compact_keep: int | None = None,
         compact_sink_cap: int = 1024,
+        quantize_weights: bool = False,
     ):
+        if quantize_weights:
+            # Weight-only int8 (ops/quant.py): halves weight HBM traffic on
+            # the decode hot path; opt-in (bit-parity vs HF holds only for
+            # unquantized weights).
+            from livecc_tpu.ops.quant import quantize_model_params
+            params = quantize_model_params(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

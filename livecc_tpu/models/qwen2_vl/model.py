@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.models.qwen2_vl.text import KVCache, init_text_params, lm_logits, text_forward
+from livecc_tpu.ops.quant import embed_lookup
 from livecc_tpu.models.qwen2_vl.vision import init_vision_params, vision_forward
 from livecc_tpu.ops.rope import vision_rotary_cos_sin
 
@@ -201,7 +202,7 @@ def forward(
     remat: bool = False,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full multimodal forward. Returns (logits [B,S,V] fp32 or hidden, cache)."""
-    embeds = params["text"]["embed"]["weight"][input_ids]
+    embeds = embed_lookup(params["text"]["embed"]["weight"], input_ids)
     # ViT fast path rides the same switch as the Pallas kernels: bf16 QK^T
     # scores on the TPU path, fp32 on the XLA/CPU parity path.
     vit_score_dtype = jnp.bfloat16 if use_flash else None

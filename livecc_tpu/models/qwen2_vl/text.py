@@ -20,6 +20,7 @@ from livecc_tpu.core.config import TextConfig
 from livecc_tpu.ops.attention import causal_mask, kv_cache_mask, mha, mha_bhsd
 from livecc_tpu.ops.norms import rms_norm
 from livecc_tpu.ops.pallas.attention import flash_decode, flash_prefill
+from livecc_tpu.ops.quant import dense, vocab_kernel
 from livecc_tpu.ops.rope import apply_mrope, mrope_cos_sin
 
 Params = dict[str, Any]
@@ -181,15 +182,17 @@ def text_forward(
         kv_limit = cache.offset + s
 
     def attn_mlp(x, layer, attend):
+        # dense() accepts plain or int8-quantized kernels (ops/quant.py)
         y = rms_norm(x, layer["input_ln"], cfg.rms_norm_eps)
-        q = (y @ layer["q_kernel"] + layer["q_bias"]).reshape(b, s, hq, hd)
-        k = (y @ layer["k_kernel"] + layer["k_bias"]).reshape(b, s, hk, hd)
-        v = (y @ layer["v_kernel"] + layer["v_bias"]).reshape(b, s, hk, hd)
+        q = (dense(y, layer["q_kernel"]) + layer["q_bias"]).reshape(b, s, hq, hd)
+        k = (dense(y, layer["k_kernel"]) + layer["k_bias"]).reshape(b, s, hk, hd)
+        v = (dense(y, layer["v_kernel"]) + layer["v_bias"]).reshape(b, s, hk, hd)
         q, k = apply_mrope(q, k, cos, sin)
         attn = attend(q, k, v)
-        x = x + attn.reshape(b, s, h) @ layer["o_kernel"]
+        x = x + dense(attn.reshape(b, s, h), layer["o_kernel"])
         y = rms_norm(x, layer["post_ln"], cfg.rms_norm_eps)
-        y = (jax.nn.silu(y @ layer["gate_kernel"]) * (y @ layer["up_kernel"])) @ layer["down_kernel"]
+        y = dense(jax.nn.silu(dense(y, layer["gate_kernel"])) * dense(y, layer["up_kernel"]),
+                  layer["down_kernel"])
         return x + y
 
     if cache is not None:
@@ -289,7 +292,12 @@ def text_forward(
 def lm_logits(params: Params, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """[B, S, H] -> [B, S, V] in float32."""
     if cfg.tie_word_embeddings:
-        kernel = params["embed"]["weight"].T
+        kernel, scale = vocab_kernel(params["embed"]["weight"], transpose=True)
     else:
-        kernel = params["lm_head"]["kernel"]
-    return jnp.einsum("bsh,hv->bsv", hidden, kernel, preferred_element_type=jnp.float32)
+        kernel, scale = vocab_kernel(params["lm_head"]["kernel"], transpose=False)
+    if scale is not None:  # int8 kernel: the convert fuses into the matmul read
+        kernel = kernel.astype(hidden.dtype)
+    out = jnp.einsum("bsh,hv->bsv", hidden, kernel, preferred_element_type=jnp.float32)
+    if scale is not None:
+        out = out * scale.astype(jnp.float32)
+    return out

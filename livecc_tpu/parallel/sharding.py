@@ -39,6 +39,10 @@ def param_pspecs(params: Params) -> Params:
             return P(*([None] * (nd - 2) + [MODEL_AXIS, None]))
         if "visual" in joined:
             return P()
+        if names[-1] == "scale" and any(k in joined for k in ("o_kernel", "down_kernel")):
+            # int8-quantized input-sharded kernel: its per-OUTPUT-column
+            # scale ([L, 1, out]) has no sharded dim — replicate (tiny)
+            return P()
         if "embed/weight" in joined:
             return P(MODEL_AXIS, None)          # vocab-sharded
         if "lm_head" in joined:

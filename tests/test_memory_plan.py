@@ -51,6 +51,18 @@ def test_7b_tp4_serves_8_streams():
     assert plan24.fits, plan24.describe()
 
 
+def test_7b_int8_weights_serve_at_tp2():
+    # Weight-only int8 (ops/quant.py, param_dtype_bytes=1) halves weight
+    # HBM: the 7B serving plan drops from TP=4 to TP=2 (8 streams, int8 KV).
+    plan = serving_plan(ModelConfig.qwen2_vl_7b(), n_model=2, streams=8,
+                        cache_len=32768, param_dtype_bytes=1, kv_dtype_bytes=1)
+    assert plan.fits, plan.describe()
+    # all-bf16 at TP=2 does NOT fit the same load — quantization buys it
+    bf16 = serving_plan(ModelConfig.qwen2_vl_7b(), n_model=2, streams=8,
+                        cache_len=32768)
+    assert not bf16.fits, bf16.describe()
+
+
 def test_tp_must_divide_heads():
     with pytest.raises(ValueError):
         serving_plan(ModelConfig.qwen2_vl_7b(), n_model=8, streams=1)  # 28 % 8 != 0
