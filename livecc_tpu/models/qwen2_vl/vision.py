@@ -22,6 +22,7 @@ from jax import lax
 from livecc_tpu.core.config import VisionConfig
 from livecc_tpu.ops.attention import mha
 from livecc_tpu.ops.norms import layer_norm
+from livecc_tpu.ops.quant import dense
 from livecc_tpu.ops.rope import apply_rotary_vision
 
 Params = dict[str, Any]
@@ -106,14 +107,16 @@ def vision_forward(
         return mha(q[None], k[None], v[None], mask=seg_mask[None, None])[0]
 
     def block(x, layer):
+        # dense() accepts plain or int8-quantized kernels (ops/quant.py)
         y = layer_norm(x, layer["norm1_scale"], layer["norm1_bias"], cfg.layer_norm_eps)
-        qkv = y @ layer["qkv_kernel"] + layer["qkv_bias"]
+        qkv = dense(y, layer["qkv_kernel"]) + layer["qkv_bias"]
         q, k, v = jnp.split(qkv.reshape(n, 3 * h, hd), 3, axis=1)
         q, k = apply_rotary_vision(q, k, cos, sin)
         attn = attend(q, k, v)
-        x = x + attn.reshape(n, h * hd) @ layer["proj_kernel"] + layer["proj_bias"]
+        x = x + dense(attn.reshape(n, h * hd), layer["proj_kernel"]) + layer["proj_bias"]
         y = layer_norm(x, layer["norm2_scale"], layer["norm2_bias"], cfg.layer_norm_eps)
-        y = quick_gelu(y @ layer["fc1_kernel"] + layer["fc1_bias"]) @ layer["fc2_kernel"] + layer["fc2_bias"]
+        y = dense(quick_gelu(dense(y, layer["fc1_kernel"]) + layer["fc1_bias"]),
+                  layer["fc2_kernel"]) + layer["fc2_bias"]
         return x + y, None
 
     x, _ = lax.scan(block, x, params["blocks"])
@@ -121,5 +124,5 @@ def vision_forward(
     mg = params["merger"]
     y = layer_norm(x, mg["ln_q_scale"], mg["ln_q_bias"], cfg.layer_norm_eps)
     y = y.reshape(-1, cfg.embed_dim * cfg.spatial_merge_size**2)
-    y = jax.nn.gelu(y @ mg["fc1_kernel"] + mg["fc1_bias"], approximate=False)
-    return y @ mg["fc2_kernel"] + mg["fc2_bias"]
+    y = jax.nn.gelu(dense(y, mg["fc1_kernel"]) + mg["fc1_bias"], approximate=False)
+    return dense(y, mg["fc2_kernel"]) + mg["fc2_bias"]

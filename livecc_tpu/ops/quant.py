@@ -84,14 +84,19 @@ def vocab_kernel(w: Weight, transpose: bool) -> tuple[jnp.ndarray, jnp.ndarray |
     return (w.T if transpose else w), None
 
 
-def quantize_model_params(params: dict) -> dict:
-    """Quantize the LLM matmul weights of a Qwen2-VL param tree.
+#: vision-tower kernels quantized alongside the text tower; the blocks are
+#: [depth, in, out] lax.scan stacks, the merger kernels plain [in, out].
+_VIT_BLOCK_KERNELS = ("qkv_kernel", "proj_kernel", "fc1_kernel", "fc2_kernel")
 
-    Text-tower attention/MLP kernels, the embedding table, and the lm_head
-    (if untied) become ``{"q", "scale"}`` nodes; biases, norms, and the
-    whole ViT stay as-is (the ViT is prefill-side and compute-bound at
-    streaming chunk sizes). The returned tree drops straight into
-    ``model.forward`` / ``LiveCCEngine``.
+
+def quantize_model_params(params: dict) -> dict:
+    """Quantize the matmul weights of a Qwen2-VL param tree.
+
+    Text-tower attention/MLP kernels, the embedding table, the lm_head (if
+    untied), and the ViT block/merger kernels become ``{"q", "scale"}``
+    nodes; biases, norms, and the raw-pixel ``patch_embed`` projection
+    (tiny, and the input's only precision gate) stay as-is. The returned
+    tree drops straight into ``model.forward`` / ``LiveCCEngine``.
     """
     p = dict(params)
     text = dict(p["text"])
@@ -103,4 +108,15 @@ def quantize_model_params(params: dict) -> dict:
     if "lm_head" in text:
         text["lm_head"] = {"kernel": quantize_weight(text["lm_head"]["kernel"], scale_axis=-2)}
     p["text"] = text
+    if "visual" in p:
+        visual = dict(p["visual"])
+        blocks = dict(visual["blocks"])
+        for name in _VIT_BLOCK_KERNELS:
+            blocks[name] = quantize_weight(blocks[name], scale_axis=-2)
+        visual["blocks"] = blocks
+        merger = dict(visual["merger"])
+        for name in ("fc1_kernel", "fc2_kernel"):
+            merger[name] = quantize_weight(merger[name], scale_axis=-2)
+        visual["merger"] = merger
+        p["visual"] = visual
     return p

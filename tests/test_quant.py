@@ -72,6 +72,29 @@ def test_model_forward_quantized_close():
     assert agree >= 0.9, agree
 
 
+def test_vision_forward_quantized_close():
+    from livecc_tpu.models.qwen2_vl.vision import init_vision_params, vision_forward
+    from livecc_tpu.ops.rope import vision_rotary_cos_sin
+
+    cfg = tiny_config()
+    params = init_vision_params(cfg.vision, jax.random.PRNGKey(9))
+    qvis = quantize_model_params({"text": init_params(cfg, jax.random.PRNGKey(0))["text"],
+                                  "visual": params})["visual"]
+    assert is_quantized(qvis["blocks"]["qkv_kernel"])
+    assert is_quantized(qvis["merger"]["fc2_kernel"])
+    assert not is_quantized(qvis["patch_embed"]["kernel"])
+
+    grid = (1, 4, 4)
+    n = grid[0] * grid[1] * grid[2]
+    patches = jnp.asarray(np.random.RandomState(10).randn(n, cfg.vision.patch_dim),
+                          jnp.float32)
+    cos, sin = vision_rotary_cos_sin([grid], cfg.vision.head_dim)
+    seg = jnp.zeros((n,), jnp.int32)
+    ref = np.asarray(vision_forward(params, cfg.vision, patches, cos, sin, seg))
+    got = np.asarray(vision_forward(qvis, cfg.vision, patches, cos, sin, seg))
+    assert np.abs(got - ref).max() < 0.05 * np.abs(ref).max()
+
+
 def test_lm_logits_tied_quantized():
     cfg = dataclasses.replace(tiny_config().text, tie_word_embeddings=True)
     params = init_text_params(cfg, jax.random.PRNGKey(3))

@@ -63,6 +63,25 @@ def main():
             results[f"decode16_B{b}_{name}_s"] = round(float(np.median(walls)), 4)
         agree = float((toks_by["bf16"] == toks_by["int8"]).mean())
         results[f"B{b}_token_agreement"] = round(agree, 3)
+
+    # Engine-level tick (ViT prefill + LLM prefill + fused decode) — the
+    # ViT weights are quantized too, so the tick A/B captures prefill.
+    from livecc_tpu.data.tokenizer import ByteTokenizer
+    from livecc_tpu.engine import LiveCCEngine
+
+    frames = rng.randint(0, 255, size=(2, 448, 448, 3), dtype=np.uint8)
+    for name, quant in [("bf16", False), ("int8", True)]:
+        eng = LiveCCEngine(init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16),
+                           cfg, ByteTokenizer(), cache_len=8192,
+                           cache_dtype=jnp.int8, quantize_weights=quant)
+        st = eng.new_stream()
+        eng.chunk_step(st, frames, 0.0, 2.0, "describe", gen)  # compile+warm
+        walls = []
+        for i in range(6):
+            t0 = time.perf_counter()
+            eng.chunk_step(st, frames, 2.0 * (i + 1), 2.0 * (i + 2), None, gen)
+            walls.append(time.perf_counter() - t0)
+        results[f"tick_{name}_s"] = round(float(np.median(walls)), 4)
     print(json.dumps(results), flush=True)
 
 

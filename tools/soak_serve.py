@@ -14,7 +14,8 @@ end-to-end p50/p90/p99 (submit->text, INCLUDING decode), tick wall, decode
 ms/frame, host CPU fraction, and compaction counts.
 
 Env: SOAK_STREAMS=8 SOAK_TICKS=300 SOAK_CLIP_S=60 SOAK_KV=int8
-     SOAK_CACHE_LEN=16384 SOAK_PACE=1.0 SOAK_COMPACT=auto|0
+     SOAK_CACHE_LEN=16384 SOAK_PACE=1.0 SOAK_COMPACT=auto|0 SOAK_W8=0|1
+     (SOAK_W8=1: weight-only int8 LLM+ViT weights, ops/quant.py)
 Usage: PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/tmp/tpu_cache \
        python tools/soak_serve.py
 """
@@ -98,8 +99,10 @@ def main() -> None:
     params = jax.block_until_ready(params)
     kv = os.environ.get("SOAK_KV", "int8")
     cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[kv]
+    w8 = os.environ.get("SOAK_W8", "0") == "1"
     engine = LiveCCEngine(params, cfg, ByteTokenizer.for_config(cfg),
-                          cache_len=cache_len, cache_dtype=cache_dtype)
+                          cache_len=cache_len, cache_dtype=cache_dtype,
+                          quantize_weights=w8)
     gen = GenerationParams(max_new_tokens=16, eos_token_id=cfg.eos_token_id,
                            pad_token_id=cfg.pad_token_id, repetition_penalty=1.05)
     compact_env = os.environ.get("SOAK_COMPACT", "auto")
@@ -182,7 +185,8 @@ def main() -> None:
     e2e = engine.metrics.summary("chunk_e2e_latency")
     comp = engine.metrics.summary("cache_compaction_dropped_tokens")
     out = {
-        "metric": f"soak_realvideo_p50_{STREAMS}streams_{cfg.name}_{kv}",
+        "metric": (f"soak_realvideo_p50_{STREAMS}streams_{cfg.name}_{kv}"
+                   + ("_w8" if w8 else "")),
         "ticks": TICKS, "pace_s": PACE, "cache_len": cache_len,
         "p50_e2e_incl_decode_s": round(float(np.percentile(latencies, 50)), 4),
         "p90_e2e_incl_decode_s": round(float(np.percentile(latencies, 90)), 4),
