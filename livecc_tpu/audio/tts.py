@@ -93,7 +93,8 @@ def text_to_phonemes(text: str) -> list[str]:
                 if body.startswith(pat, i):
                     ph = list(phones)
                     # long-vowel flip before the silent e: a->EY, i->AY, o->OW
-                    if silent_e and i + len(pat) == len(body) - 1 and pat in "aiou":
+                    if (silent_e and i + len(pat) == len(body) - 1
+                            and len(pat) == 1 and pat in "aiou"):
                         ph = {"a": ["EY"], "i": ["AY"], "o": ["OW"], "u": ["UW"]}[pat]
                     out.extend(ph)
                     i += len(pat)

@@ -25,6 +25,18 @@ import jax.numpy as jnp
 from livecc_tpu.models.qwen2_vl.text import KVCache
 
 
+def plan_compaction(old_off: int, sink_cap: int, keep_cap: int,
+                    max_len: int) -> tuple[int, int, int]:
+    """Host-side window choice shared by the solo engine and the pool:
+    ``(sink, keep, new_off)`` for a row whose device depth is ``old_off``.
+    ``new_off >= old_off`` means nothing to evict. Callers must fold
+    ``old_off - new_off`` into the stream's rope_delta (the ``offset +
+    delta`` invariant above)."""
+    sink = min(sink_cap, old_off)
+    keep = min(keep_cap, max_len)
+    return sink, keep, min(old_off, sink + keep)
+
+
 @functools.partial(jax.jit, donate_argnames=("cache",))
 def compact_cache_row(cache: KVCache, row, sink, keep) -> KVCache:
     """Evict the middle of row ``row``: keep ``[0, sink)`` + the last

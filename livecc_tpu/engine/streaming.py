@@ -146,12 +146,11 @@ class LiveCCEngine:
         # prefix + recent window; engine/compact.py): unbounded session on
         # a bounded cache, same policy the serving pool applies.
         if cap >= self.cache_len and self.compact_keep:
-            from livecc_tpu.engine.compact import compact_cache_row
+            from livecc_tpu.engine.compact import compact_cache_row, plan_compaction
 
             old_off = int(np.asarray(state.cache.offset[0]))
-            sink = min(self.compact_sink_cap, old_off)
-            keep = min(self.compact_keep, cap)
-            new_off = min(old_off, sink + keep)
+            sink, keep, new_off = plan_compaction(
+                old_off, self.compact_sink_cap, self.compact_keep, cap)
             if new_off < old_off and new_off + needed <= cap:
                 state.cache = compact_cache_row(
                     state.cache, jnp.int32(0), jnp.int32(sink), jnp.int32(keep)

@@ -51,11 +51,13 @@ def quantize_weight(w: jnp.ndarray, scale_axis: int = -2) -> Quantized:
     """
     w = jnp.asarray(w)
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=scale_axis, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    # scale keeps the weight's dtype so activations stay in one dtype
-    # (bf16 for serving params, fp32 on the CPU parity path)
-    return {"q": q, "scale": scale.astype(w.dtype)}
+    # scale keeps the weight's dtype so activations stay in one dtype (bf16
+    # for serving params, fp32 on the CPU parity path); round it to that
+    # dtype BEFORE computing codes so q and the stored scale are consistent
+    scale = (jnp.maximum(amax, 1e-8) / 127.0).astype(w.dtype)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale.astype(jnp.float32)),
+                 -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
 
 
 def dense(x: jnp.ndarray, w: Weight) -> jnp.ndarray:

@@ -129,7 +129,10 @@ def _insert_slot(pool_cache, pool_counts, pool_last, slot, cache, counts, last):
     return new_cache, pool_counts.at[slot].set(counts[0]), pool_last.at[slot].set(last)
 
 
-from livecc_tpu.engine.compact import compact_cache_row as _compact_slot
+from livecc_tpu.engine.compact import (
+    compact_cache_row as _compact_slot,
+    plan_compaction as _plan_compaction,
+)
 
 
 @dataclasses.dataclass
@@ -509,9 +512,8 @@ class StreamServer:
         # actual device depth, not the host upper bound: the rope_delta fold
         # must keep (offset + delta) invariant exactly
         old_off = int(np.asarray(self.pool_caches.offset[s.slot]))
-        sink = min(s.sink_len, old_off)
-        keep = min(self.compact_keep, self.pool_caches.max_len)
-        new_off = min(old_off, sink + keep)
+        sink, keep, new_off = _plan_compaction(
+            old_off, s.sink_len, self.compact_keep, self.pool_caches.max_len)
         if new_off >= old_off:
             return
         self.pool_caches = _compact_slot(
@@ -623,7 +625,7 @@ class StreamServer:
             # stacks 8 row rewrites into one latency spike (r3 soak: p99
             # 13.8 s vs p50 1.49 s). Earlier thresholds spread the rounds
             # across ~capacity ticks at a small headroom cost.
-            stagger = (s.slot % self.capacity) * 256 if self.compact_keep else 0
+            stagger = s.slot * 256 if self.compact_keep else 0  # slot < capacity
             if self.compact_keep and need > self.pool_caches.max_len - stagger:
                 self._compact(s)             # resets length_ub to device depth
                 need = s.length_ub + charges.get(s.sid, 0) + max_bucket

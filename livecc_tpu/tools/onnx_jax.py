@@ -209,6 +209,10 @@ def build_fn(model: Model) -> Callable[..., list]:
                 ends = _const_int_list(args[2]) if len(args) > 2 else node.attr("ends")
                 axes = (_const_int_list(args[3]) if len(args) > 3 and args[3] is not None
                         else node.attr("axes") or list(range(len(starts))))
+                steps = (_const_int_list(args[4]) if len(args) > 4 and args[4] is not None
+                         else node.attr("steps"))
+                if steps and any(st != 1 for st in steps):
+                    raise NotImplementedError(f"Slice steps={steps} (only 1 supported)")
                 idx = [slice(None)] * jnp.ndim(x)
                 for s, e, a in zip(starts, ends, axes):
                     idx[a] = slice(s, None if e >= 2**31 - 1 else e)

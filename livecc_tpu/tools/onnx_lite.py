@@ -187,7 +187,7 @@ def _decode_tensor(data) -> tuple[str, np.ndarray]:
                 buf = memoryview(val)
                 while pos < len(buf):
                     v, pos = _read_varint(buf, pos)
-                    i32_data.append(v)
+                    i32_data.append(_signed(v))
             else:
                 i32_data.append(_signed(val))
         elif field == 7:

@@ -100,3 +100,8 @@ def test_builtin_tts_synthesis():
     assert text_to_phonemes("Time 3 to 4!")
     w3, _ = synthesize("Time=3.0-4.0s")
     assert len(w3) > 0
+    # silent-e words whose vowel matches a DIGRAPH rule ('ou' in "house",
+    # 'ai' in "praise") must not hit the single-char long-vowel flip
+    for word in ("house", "mouse", "praise", "raise", "aide", "game"):
+        w, _ = synthesize(word)
+        assert len(w) > 0, word

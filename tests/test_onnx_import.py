@@ -148,6 +148,34 @@ def test_model_roundtrip(tmp_path):
     np.testing.assert_allclose(out_a, out_b, rtol=1e-6)
 
 
+def test_packed_int32_negative_values():
+    """Real exporters may store INT32 initializers as packed int32_data
+    (varint-encoded, sign-extended to 64 bits); the reader must apply the
+    same sign conversion as the unpacked branch."""
+    vals = [-2, -1, 0, 1, 127]
+    body = bytearray()
+    ox._emit(body, 1, 0, len(vals))                 # dims
+    ox._emit(body, 2, 0, ox.DT_INT32)               # data_type
+    packed = bytearray()
+    for v in vals:
+        ox._write_varint(packed, v & ((1 << 64) - 1))   # sign-extended varint
+    ox._emit(body, 5, 2, bytes(packed))             # packed int32_data
+    ox._emit(body, 8, 2, b"t")                      # name
+    name, arr = ox._decode_tensor(bytes(body))
+    assert name == "t" and arr.dtype == np.int32
+    np.testing.assert_array_equal(arr, np.asarray(vals, np.int32))
+
+
+def test_slice_steps_rejected():
+    """Slice with steps != 1 must raise instead of silently striding by 1."""
+    with pytest.raises(NotImplementedError):
+        run_single("Slice", [np.arange(10, dtype=np.float32)],
+                   extra_inits={"starts": np.asarray([0], np.int64),
+                                "ends": np.asarray([10], np.int64),
+                                "axes": np.asarray([0], np.int64),
+                                "steps": np.asarray([2], np.int64)})
+
+
 # ---------------------------------------------------------------------------
 # buffalo_sc-layout SCRFD graph end-to-end
 # ---------------------------------------------------------------------------

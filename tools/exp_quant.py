@@ -66,13 +66,15 @@ def main():
 
     # Engine-level tick (ViT prefill + LLM prefill + fused decode) — the
     # ViT weights are quantized too, so the tick A/B captures prefill.
+    # Reuse ONE param tree and drop the other format first: two 2B bf16
+    # trees + one int8 tree + caches exceed the 16 GiB chip.
     from livecc_tpu.data.tokenizer import ByteTokenizer
     from livecc_tpu.engine import LiveCCEngine
 
+    del qparams
     frames = rng.randint(0, 255, size=(2, 448, 448, 3), dtype=np.uint8)
     for name, quant in [("bf16", False), ("int8", True)]:
-        eng = LiveCCEngine(init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16),
-                           cfg, ByteTokenizer(), cache_len=8192,
+        eng = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=8192,
                            cache_dtype=jnp.int8, quantize_weights=quant)
         st = eng.new_stream()
         eng.chunk_step(st, frames, 0.0, 2.0, "describe", gen)  # compile+warm
@@ -82,6 +84,7 @@ def main():
             eng.chunk_step(st, frames, 2.0 * (i + 1), 2.0 * (i + 2), None, gen)
             walls.append(time.perf_counter() - t0)
         results[f"tick_{name}_s"] = round(float(np.median(walls)), 4)
+        del eng, st
     print(json.dumps(results), flush=True)
 
 
