@@ -181,18 +181,33 @@ def text_forward(
     if cache is not None and kv_limit is None:
         kv_limit = cache.offset + s
 
+    # remat="names"/"names_mlp" saves the tagged projection outputs so the
+    # backward skips re-running those matmuls. The tags are inserted ONLY
+    # when a names policy is selected: name_p markers perturb XLA's
+    # partitioner on the mesh/default path (observed SIGABRT in the CPU
+    # mesh trainer test with tags present under remat=True).
+    if remat in ("names", "names_mlp"):
+        from jax.ad_checkpoint import checkpoint_name as _tag
+    else:
+        _tag = lambda x, _n: x
+
     def attn_mlp(x, layer, attend):
         # dense() accepts plain or int8-quantized kernels (ops/quant.py)
         y = rms_norm(x, layer["input_ln"], cfg.rms_norm_eps)
         q = (dense(y, layer["q_kernel"]) + layer["q_bias"]).reshape(b, s, hq, hd)
         k = (dense(y, layer["k_kernel"]) + layer["k_bias"]).reshape(b, s, hk, hd)
         v = (dense(y, layer["v_kernel"]) + layer["v_bias"]).reshape(b, s, hk, hd)
+        q = _tag(q, "remat_qkv")
+        k = _tag(k, "remat_qkv")
+        v = _tag(v, "remat_qkv")
         q, k = apply_mrope(q, k, cos, sin)
         attn = attend(q, k, v)
-        x = x + dense(attn.reshape(b, s, h), layer["o_kernel"])
+        x = x + _tag(dense(attn.reshape(b, s, h), layer["o_kernel"]), "remat_o")
         y = rms_norm(x, layer["post_ln"], cfg.rms_norm_eps)
-        y = dense(jax.nn.silu(dense(y, layer["gate_kernel"])) * dense(y, layer["up_kernel"]),
-                  layer["down_kernel"])
+        y = _tag(
+            jax.nn.silu(dense(y, layer["gate_kernel"])) * dense(y, layer["up_kernel"]),
+            "remat_mlp")
+        y = _tag(dense(y, layer["down_kernel"]), "remat_down")
         return x + y
 
     if cache is not None:
@@ -274,14 +289,30 @@ def text_forward(
             return attn_mlp(x, layer, attend), None
 
         if remat:
-            # remat=True -> full recompute; remat="dots" -> save matmul
-            # outputs (qkv/o/mlp projections), so the backward recomputes
-            # only elementwise ops — trades ~250 MB/layer of bf16 residuals
-            # for skipping the whole forward-again matmul FLOPs (~20% of a
-            # step at seq 8k). Attention itself is a Pallas call (not dots),
-            # so its output recomputes either way.
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if remat == "dots" else jax.checkpoint_policies.nothing_saveable)
+            # remat=True -> full recompute. Named policies trade residual
+            # HBM for skipping matmul re-runs in the backward (the splash
+            # attention fwd always re-runs: its logsumexp residual lives
+            # inside the library custom_vjp and cannot be name-saved):
+            #   "names"     — save qkv/o/down projection outputs
+            #                 (~83 MB/layer bf16 at seq 8k; skips ~1/3 of
+            #                 the recompute matmul FLOPs)
+            #   "names_mlp" — additionally save the silu(gate)*up product
+            #                 (+140 MB/layer; skips the gate/up re-run too,
+            #                 ~80% of recompute matmul FLOPs total)
+            #   "dots"      — XLA's save-all-matmul-outputs policy
+            #                 (reproducibly crashed the relay's remote
+            #                 compiler at the 8k training shape; kept for
+            #                 experiments on directly-attached chips)
+            if remat == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif remat == "names":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "remat_qkv", "remat_o", "remat_down")
+            elif remat == "names_mlp":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "remat_qkv", "remat_o", "remat_down", "remat_mlp")
+            else:
+                policy = jax.checkpoint_policies.nothing_saveable
             block = jax.checkpoint(block, policy=policy)
         x, _ = lax.scan(block, inputs_embeds, params["layers"])
         new_cache = None

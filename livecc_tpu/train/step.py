@@ -61,9 +61,12 @@ class TrainConfig:
     # (the collator knows it); overflow positions are dropped from the loss.
     ce_sup_bucket: Optional[int] = None
     # per-layer rematerialization (the reference's --gradient_checkpointing):
-    # True = full recompute (nothing saved), "dots" = save matmul outputs
-    # (backward skips the forward-again matmuls at ~250 MB/layer of bf16
-    # residuals at seq 8k — the faster choice when HBM allows)
+    # True = full recompute (nothing saved); "names" = save qkv/o/down
+    # projection outputs (~83 MB/layer bf16 at seq 8k, skips ~1/3 of the
+    # recompute matmuls); "names_mlp" = also save the silu(gate)*up product
+    # (+140 MB/layer, skips ~80% of recompute matmuls); "dots" = XLA's
+    # save-all-matmul-outputs policy (crashes the relay compiler here).
+    # See models/qwen2_vl/text.py:text_forward for the measured trade-offs.
     remat: bool | str = True
     # Pallas flash attention with backward in the LLM (None = auto on TPU)
     use_flash: Optional[bool] = None

@@ -119,3 +119,27 @@ def test_ce_sup_bucket_matches_full():
     _, (count_f, dropped_f) = loss_fn(params, cfg, tcfg_full, micro)
     assert int(dropped) == int(count_f) - 8 and int(dropped) > 0
     assert int(dropped_f) == 0
+
+
+def test_remat_names_policies_match_full_recompute():
+    """remat="names"/"names_mlp" (save tagged projection outputs) change
+    only what the backward stores, never the gradients: bitwise-equal-level
+    parity with remat=True on the fp32 CPU path."""
+    from livecc_tpu.models.qwen2_vl.text import text_forward
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))["text"]
+    rng = np.random.RandomState(0)
+    s = 32
+    embeds = jnp.asarray(rng.randn(1, s, cfg.text.hidden_size), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(s)[None, None], (3, 1, s)).astype(jnp.int32)
+
+    def loss(p, remat):
+        h, _ = text_forward(p, cfg.text, embeds, pos, remat=remat)
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, True))(params)
+    for mode in ("names", "names_mlp"):
+        g = jax.grad(lambda p: loss(p, mode))(params)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-8)

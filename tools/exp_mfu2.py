@@ -205,7 +205,9 @@ def main():
     import livecc_tpu.ops.attention as attn_mod
 
     step_kinds = {"step": (True, "splash"), "step_flash": (True, "flash"),
-                  "step_dots": ("dots", "splash")}
+                  "step_dots": ("dots", "splash"),
+                  "step_names": ("names", "splash"),
+                  "step_names_mlp": ("names_mlp", "splash")}
     for idx, probe in enumerate(p for p in probes if p in step_kinds):
         remat, impl = step_kinds[probe]
         attn_mod.TRAIN_ATTN_IMPL = impl
