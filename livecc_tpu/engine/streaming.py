@@ -87,6 +87,7 @@ class LiveCCEngine:
         compact_keep: int | None = None,
         compact_sink_cap: int = 1024,
         quantize_weights: bool = False,
+        spec: "SpecConfig | None" = None,
     ):
         if quantize_weights:
             # Weight-only int8 (ops/quant.py): halves weight HBM traffic on
@@ -112,6 +113,14 @@ class LiveCCEngine:
         # doubles without bound — the reference's own behavior).
         self.compact_keep = cache_len // 2 if compact_keep is None else compact_keep
         self.compact_sink_cap = compact_sink_cap
+        # Speculative decoding (engine/speculative.py): draft-token
+        # verification amortizes the weight-bound decode HBM reads; greedy
+        # output is bit-identical to the plain decode path for any draft.
+        # ``spec_draft_source`` overrides the default n-gram lookup (tests
+        # inject oracle/adversarial drafts; a distilled draft model plugs in
+        # the same way).
+        self.spec = spec
+        self.spec_draft_source = None
         self.sys_offset = chat.system_prompt_offset()
         # ' ...' continuation marker token (reference demo/infer.py:49)
         ids = tokenizer.encode(" ...")
@@ -279,7 +288,11 @@ class LiveCCEngine:
     ) -> str:
         n_new = len(new_ids)
         bucket = _bucket(n_new)
-        self._ensure_capacity(state, bucket + gen.max_new_tokens + 1)
+        # Speculative windows transiently write up to k_draft+1 tokens past
+        # the accepted frontier; reserve room for one full window beyond the
+        # final emitted token.
+        extra = (self.spec.k_draft + 2) if self.spec is not None else 0
+        self._ensure_capacity(state, bucket + gen.max_new_tokens + 1 + extra)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :n_new] = new_ids
         offset = state.length
@@ -308,19 +321,28 @@ class LiveCCEngine:
             counts=state.counts, remove_token=jnp.int32(state.last_token),
             use_flash=self.use_flash,
         )
-        self._rng, sub = jax.random.split(self._rng)
-        tokens, n_gen, state.cache, state.counts = decode_chunk(
-            self.params, self.cfg, gen, logits0, state.cache, state.counts,
-            jnp.asarray([[state.rope_delta]], jnp.int32), sub,
-            use_flash=self.use_flash,
-        )
-        tokens = np.asarray(tokens)[0]
-        n = int(n_gen[0])
-        generated = tokens[:n].tolist()
+        if self.spec is not None:
+            from livecc_tpu.engine.speculative import speculative_decode_chunk
+
+            generated = speculative_decode_chunk(
+                self, state, logits0, gen, self.spec,
+                context_ids=state.past_ids + new_ids,
+                draft_source=self.spec_draft_source,
+            )
+        else:
+            self._rng, sub = jax.random.split(self._rng)
+            tokens, n_gen, state.cache, state.counts = decode_chunk(
+                self.params, self.cfg, gen, logits0, state.cache, state.counts,
+                jnp.asarray([[state.rope_delta]], jnp.int32), sub,
+                use_flash=self.use_flash,
+            )
+            tokens = np.asarray(tokens)[0]
+            n = int(n_gen[0])
+            generated = tokens[:n].tolist()
         # History keeps all but the final sampled token (demo/infer.py:174);
         # its presence count is removed at the next chunk's prefill.
         state.past_ids = state.past_ids + new_ids + generated[:-1]
-        state.length = offset + n_new + max(n - 1, 0)
+        state.length = offset + n_new + max(len(generated) - 1, 0)
         state.last_token = generated[-1] if generated else -1
         return self.tokenizer.decode(generated, skip_special_tokens=True)
 
