@@ -71,3 +71,18 @@ def compact_cache_row(cache: KVCache, row, sink, keep) -> KVCache:
         cache.offset.at[row].set(new_off),
         g_sc(cache.k_scale), g_sc(cache.v_scale),
     )
+
+
+@functools.partial(jax.jit, donate_argnames=("hist",))
+def compact_token_row(hist: jnp.ndarray, off, row, sink, keep) -> jnp.ndarray:
+    """Apply the same sink+window eviction to a row of the token-history
+    buffer (the id-shadow of the KV cache used by fused lookahead decoding,
+    engine/speculative.py): hist[row, p] stays the id of cache position p
+    after compaction. ``off`` is the row's pre-compaction offset."""
+    hcap = hist.shape[-1]
+    noop = off <= sink + keep
+    r = hist[row]
+    i = jnp.arange(hcap)
+    idx = jnp.where(i < sink, i, off - keep + (i - sink))
+    idx = jnp.where(noop, i, jnp.clip(idx, 0, hcap - 1))
+    return hist.at[row].set(jnp.take(r, idx))

@@ -65,6 +65,9 @@ class StreamState:
     last_token: int = -1                     # prev chunk's dropped final token
     rope_delta: int | None = None            # set by the first prefill
     query_sent: bool = False
+    # id-shadow of the KV cache ([1, Hcap] int32) for fused lookahead
+    # decoding (engine/speculative.py); allocated when spec.fused
+    hist: jnp.ndarray | None = None
 
 
 class LiveCCEngine:
@@ -141,10 +144,13 @@ class LiveCCEngine:
         initial cache (it doubles on demand); the serving pool starts init
         streams small so N joining streams don't transiently hold N
         full-length solo caches next to the pool."""
-        cache = KVCache.zeros(self.cfg.text, 1, cache_len or self.cache_len,
-                              self.cache_dtype)
+        n = cache_len or self.cache_len
+        cache = KVCache.zeros(self.cfg.text, 1, n, self.cache_dtype)
         counts = jnp.zeros((1, self.cfg.text.vocab_size), jnp.int32)
-        return StreamState(cache=cache, counts=counts, past_ids=[])
+        hist = None
+        if self.spec is not None and self.spec.fused:
+            hist = jnp.full((1, n), -1, jnp.int32)
+        return StreamState(cache=cache, counts=counts, past_ids=[], hist=hist)
 
     def _ensure_capacity(self, state: StreamState, needed: int) -> None:
         off = state.length
@@ -155,7 +161,8 @@ class LiveCCEngine:
         # prefix + recent window; engine/compact.py): unbounded session on
         # a bounded cache, same policy the serving pool applies.
         if cap >= self.cache_len and self.compact_keep:
-            from livecc_tpu.engine.compact import compact_cache_row, plan_compaction
+            from livecc_tpu.engine.compact import (
+                compact_cache_row, compact_token_row, plan_compaction)
 
             old_off = int(np.asarray(state.cache.offset[0]))
             sink, keep, new_off = plan_compaction(
@@ -164,6 +171,10 @@ class LiveCCEngine:
                 state.cache = compact_cache_row(
                     state.cache, jnp.int32(0), jnp.int32(sink), jnp.int32(keep)
                 )
+                if state.hist is not None:
+                    state.hist = compact_token_row(
+                        state.hist, jnp.int32(old_off), jnp.int32(0),
+                        jnp.int32(sink), jnp.int32(keep))
                 state.rope_delta += old_off - new_off
                 state.length = new_off
                 self.metrics.record("cache_compaction_dropped_tokens",
@@ -185,6 +196,10 @@ class LiveCCEngine:
 
         state.cache = KVCache(grow(state.cache.k), grow(state.cache.v), state.cache.offset,
                               grow(state.cache.k_scale, 4), grow(state.cache.v_scale, 4))
+        if state.hist is not None:
+            state.hist = jnp.concatenate(
+                [state.hist,
+                 jnp.full((1, new_cap - state.hist.shape[1]), -1, jnp.int32)], axis=1)
 
     # ------------------------------------------------------------------
     # one chunk: text+frames -> generated words
@@ -321,7 +336,19 @@ class LiveCCEngine:
             counts=state.counts, remove_token=jnp.int32(state.last_token),
             use_flash=self.use_flash,
         )
-        if self.spec is not None:
+        if self.spec is not None and self.spec.fused:
+            from livecc_tpu.engine.speculative import decode_chunk_lookahead
+
+            self._rng, sub = jax.random.split(self._rng)
+            tokens, n_gen, state.cache, state.hist, state.counts = decode_chunk_lookahead(
+                self.params, self.cfg, gen, self.spec,
+                jnp.asarray(ids), jnp.asarray([n_new], jnp.int32), logits0,
+                state.cache, state.hist, state.counts,
+                jnp.asarray([[state.rope_delta]], jnp.int32), sub,
+                use_flash=self.use_flash,
+            )
+            generated = np.asarray(tokens)[0, : int(n_gen[0])].tolist()
+        elif self.spec is not None:
             from livecc_tpu.engine.speculative import speculative_decode_chunk
 
             generated = speculative_decode_chunk(

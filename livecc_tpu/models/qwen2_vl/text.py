@@ -177,7 +177,17 @@ def text_forward(
         else:
             mask = causal_mask(s)[None, None]                      # [1,1,S,S]
         if attention_mask is not None:
-            mask = mask & attention_mask[:, None, None, :]
+            if attention_mask.dtype == jnp.bool_:
+                mask = mask & attention_mask[:, None, None, :]
+            else:
+                # int32 SEGMENT ids (sequence packing, train/data.py
+                # collate_packed): attend only within the same segment;
+                # id 0 = padding. The splash/flash training kernels get the
+                # same ids natively (SegmentIds); this is the XLA/test path.
+                seg = attention_mask
+                pair = (seg[:, None, :, None] == seg[:, None, None, :]) & (
+                    seg > 0)[:, None, None, :]
+                mask = mask & pair
     if cache is not None and kv_limit is None:
         kv_limit = cache.offset + s
 

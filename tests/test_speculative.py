@@ -33,9 +33,9 @@ def setup():
     return cfg, params, tok
 
 
-def run_stream(engine, gen, n_chunks=3, seed=1):
+def run_stream(engine, gen, n_chunks=3, seed=1, stream_cache_len=512):
     """Drive identical chunk sequences; return per-chunk texts + state."""
-    st = engine.new_stream(cache_len=512)
+    st = engine.new_stream(cache_len=stream_cache_len)
     texts = []
     t = 0.0
     for i in range(n_chunks):
@@ -87,13 +87,14 @@ def gen_params(cfg, **kw):
     return GenerationParams(**base)
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("k_draft", [1, 3, 5])
-def test_greedy_parity_ngram_drafts(setup, k_draft):
+def test_greedy_parity_ngram_drafts(setup, k_draft, fused):
     cfg, params, tok = setup
     gen = gen_params(cfg)
     ref_engine = LiveCCEngine(params, cfg, tok, cache_len=512)
     spec_engine = LiveCCEngine(params, cfg, tok, cache_len=512,
-                               spec=SpecConfig(k_draft=k_draft))
+                               spec=SpecConfig(k_draft=k_draft, fused=fused))
     ref_texts, ref_st = run_stream(ref_engine, gen)
     spec_texts, spec_st = run_stream(spec_engine, gen)
     assert spec_texts == ref_texts
@@ -116,7 +117,8 @@ def test_greedy_parity_adversarial_drafts(setup):
     cfg, params, tok = setup
     gen = gen_params(cfg)
     ref_texts, _ = run_stream(LiveCCEngine(params, cfg, tok, cache_len=512), gen)
-    eng = LiveCCEngine(params, cfg, tok, cache_len=512, spec=SpecConfig(k_draft=4))
+    eng = LiveCCEngine(params, cfg, tok, cache_len=512,
+                       spec=SpecConfig(k_draft=4, fused=False))
     eng.spec_draft_source = AdversarialDraft(4)
     spec_texts, _ = run_stream(eng, gen)
     assert spec_texts == ref_texts
@@ -131,7 +133,8 @@ def test_greedy_parity_oracle_drafts_and_dispatch_count(setup):
     ref_texts, ref_st = run_stream(ref_engine, gen)
 
     # re-derive each chunk's emitted token ids from the reference run
-    eng = LiveCCEngine(params, cfg, tok, cache_len=512, spec=SpecConfig(k_draft=4))
+    eng = LiveCCEngine(params, cfg, tok, cache_len=512,
+                       spec=SpecConfig(k_draft=4, fused=False))
     oracle = OracleDraft(4)
     eng.spec_draft_source = oracle
 
@@ -219,3 +222,25 @@ def test_ngram_draft_source():
     # rightmost (most recent) occurrence wins
     ids2 = [1, 2, 7, 7, 1, 2, 8, 8, 1, 2]
     assert src.propose(ids2)[:1] == [8]
+
+
+def test_fused_lookahead_with_compaction(setup):
+    """Fused lookahead across the session horizon: the token-history shadow
+    is compacted with the same sink+window map as the KV cache, so parity
+    with the plain engine holds through a compaction event."""
+    cfg, params, tok = setup
+    gen = gen_params(cfg, max_new_tokens=4)
+    kw = dict(cache_len=256, compact_keep=96, compact_sink_cap=64)
+    ref_engine = LiveCCEngine(params, cfg, tok, **kw)
+    spec_engine = LiveCCEngine(params, cfg, tok, spec=SpecConfig(k_draft=3), **kw)
+    ref_texts, ref_st = run_stream(ref_engine, gen, n_chunks=6, stream_cache_len=256)
+    spec_texts, spec_st = run_stream(spec_engine, gen, n_chunks=6, stream_cache_len=256)
+    assert ref_engine.metrics.summary("cache_compaction_dropped_tokens").get("n", 0) > 0, \
+        "test must actually cross the horizon"
+    assert spec_texts == ref_texts
+    assert spec_st.length == ref_st.length
+    assert spec_st.rope_delta == ref_st.rope_delta
+    # the history shadow mirrors the committed cache ids exactly
+    n = spec_st.length
+    hist = np.asarray(spec_st.hist[0, :n])
+    assert hist.min() >= 0, "history shadow must be fully populated"
