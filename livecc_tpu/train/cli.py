@@ -43,6 +43,10 @@ def main(argv=None):
                              "prefetch (reference: --dataloader_num_workers 16)")
     parser.add_argument("--overwrite_output_dir", action="store_true",
                         help="start fresh instead of resuming (train.py:29)")
+    parser.add_argument("--pack_seq", type=int, default=None,
+                        help="sequence packing: pack variable-length samples "
+                             "into rows of this many tokens (segment-id "
+                             "attention); beyond-reference throughput feature")
     parser.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                         help="device mesh, e.g. 4x2 (data-parallel 4, tensor-"
                              "parallel 2); replaces the reference's torchrun "
@@ -89,6 +93,7 @@ def main(argv=None):
         log_steps=args.log_steps,
         resume=not args.overwrite_output_dir,
         loader_workers=args.dataloader_num_workers,
+        pack_seq=args.pack_seq,
     )
     mesh = None
     if args.mesh:

@@ -229,9 +229,21 @@ def collate_packed(samples: list[dict[str, Any]], cfg: ModelConfig, *,
     """``pack_samples`` + ``collate``; the Batch's attention_mask carries
     int32 segment ids instead of a bool validity mask (0 = pad)."""
     packed, _ = pack_samples(samples, seq_len)
+    return collate_packed_rows(packed, cfg, rows=rows)
+
+
+def collate_packed_rows(packed: list[dict[str, Any]], cfg: ModelConfig, *,
+                        rows: int = 1, accum: int | None = None) -> Batch:
+    """Collate ALREADY-packed rows (``pack_samples`` output). ``accum``
+    forces the accumulation depth: missing rows are padded with empty
+    (all-pad, zero-supervised) rows so every step compiles to one shape."""
+    packed = list(packed)
+    target = None if accum is None else accum * rows
+    if target is not None:
+        assert len(packed) <= target, (len(packed), target)
     # pad the pack count to a full accumulation window: an empty row is all
     # pad (segment 0, zero supervised tokens) and contributes nothing
-    while len(packed) % rows:
+    while (len(packed) % rows) or (target is not None and len(packed) < target):
         packed.append({
             "input_ids": np.full((1, 1), 0, np.int32),
             "labels": np.full((1, 1), -100, np.int32),

@@ -48,6 +48,14 @@ class TrainerConfig:
     # reference's dataloader_num_workers; threads suffice because the
     # native decoder releases the GIL)
     loader_workers: int = 4
+    # Sequence packing (train/data.py:pack_samples): pack variable-length
+    # samples into rows of this many tokens with per-sample segment-id
+    # attention — the step's FLOPs train on real tokens instead of bucket
+    # padding (the reference right-pads per-device batch 1 to the longest
+    # sample). None disables. Extra samples are fetched until the
+    # accumulation window is full; unpacked leftovers carry to the next
+    # step.
+    pack_seq: int | None = None
 
 
 class Trainer:
@@ -103,6 +111,7 @@ class Trainer:
                 out_shardings=(pshard, oshard, None),
             )
         self.step = 0
+        self._pack_buf: list = []   # sequence-packing carry (pack_seq)
         os.makedirs(run.output_dir, exist_ok=True)
         self._ckpt_dir = os.path.abspath(os.path.join(run.output_dir, "ckpt"))
         self._log_path = os.path.join(run.output_dir, "log.jsonl")
@@ -199,7 +208,7 @@ class Trainer:
             return [rng.randrange(n) for _ in range(count)]
         return [rng.randrange(n // n_hosts) * n_hosts + host for _ in range(count)]
 
-    def _load_batch(self, indices: list[int]):
+    def _fetch(self, indices: list[int]):
         if self.run.loader_workers > 1:
             # per-sample fan-out: the native decoder releases the GIL
             # inside FFmpeg, so threads scale with host cores (the
@@ -207,10 +216,32 @@ class Trainer:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=self.run.loader_workers) as p:
-                samples = list(p.map(self.dataset.__getitem__, indices))
+                return list(p.map(self.dataset.__getitem__, indices))
+        return [self.dataset[i] for i in indices]
+
+    def _load_batch(self, rng: random.Random):
+        samples = self._fetch(self.sample_indices(rng))
+        if self.run.pack_seq is None:
+            return self._place_batch(collate(samples, self.cfg, rows=self.batch_rows))
+        from livecc_tpu.train.data import collate_packed_rows, pack_samples
+
+        # Packed path: each row holds several samples, so one window needs
+        # MORE samples than rows — keep fetching until full (bounded), and
+        # carry unpacked leftovers to the next step.
+        target = self.run.accum_steps * self.batch_rows
+        self._pack_buf.extend(samples)
+        for _ in range(8):
+            packed, left = pack_samples(self._pack_buf, self.run.pack_seq,
+                                        max_rows=target)
+            if len(packed) >= target:
+                break
+            self._pack_buf.extend(self._fetch(self.sample_indices(rng)))
         else:
-            samples = [self.dataset[i] for i in indices]
-        return self._place_batch(collate(samples, self.cfg, rows=self.batch_rows))
+            packed, left = pack_samples(self._pack_buf, self.run.pack_seq,
+                                        max_rows=target)
+        self._pack_buf = left
+        return self._place_batch(collate_packed_rows(
+            packed, self.cfg, rows=self.batch_rows, accum=self.run.accum_steps))
 
     def train(self) -> dict:
         """Run to total_steps with one-batch lookahead prefetch.
@@ -228,11 +259,11 @@ class Trainer:
         t0 = time.time()
         last = {}
         with ThreadPoolExecutor(max_workers=1) as pool:
-            future = pool.submit(self._load_batch, self.sample_indices(rng))
+            future = pool.submit(self._load_batch, rng)
             while self.step < self.run.total_steps:
                 batch = future.result()
                 if self.step + 1 < self.run.total_steps:
-                    future = pool.submit(self._load_batch, self.sample_indices(rng))
+                    future = pool.submit(self._load_batch, rng)
                 self.params, self.opt_state, metrics = self.step_fn(self.params, self.opt_state, batch)
                 self.step += 1
                 if self.step % self.run.log_steps == 0 or self.step == self.run.total_steps:

@@ -284,3 +284,31 @@ def test_collate_rows_packing(dataset):
         np.testing.assert_allclose(
             np.asarray(batch.vision_patches[0, n0:n0 + n1]), xs[1]["pixel_patches"], rtol=1e-6
         )
+
+
+def test_trainer_pack_seq(dataset, tmp_path):
+    """Sequence packing end to end through the Trainer: the packed window
+    draws MORE samples than rows (fetch-until-full with leftover carry) and
+    trains on segment-id attention; loss finite, steps complete."""
+    import jax
+
+    from livecc_tpu.models.qwen2_vl.model import init_params
+    from livecc_tpu.train.step import TrainConfig
+    from livecc_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = dataset.cfg
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tcfg = TrainConfig(learning_rate=1e-4, total_steps=4, ce_chunk_size=128)
+    run = TrainerConfig(output_dir=str(tmp_path / "pack"), total_steps=2,
+                        accum_steps=2, save_steps=10, log_steps=1,
+                        resume=False, pack_seq=2048)
+    tr = Trainer(params, cfg, tcfg, run, dataset)
+    import random as _random
+
+    batch = tr._load_batch(_random.Random(0))
+    assert batch.attention_mask.dtype.name == "int32"
+    # at least one row holds >= 2 samples (segment id 2 appears)
+    assert int(batch.attention_mask.max()) >= 2
+    assert batch.input_ids.shape[0] == run.accum_steps
+    last = tr.train()
+    assert last["step"] == 2 and np.isfinite(last["loss"])
