@@ -25,7 +25,27 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Cache compiled executables across test runs (XLA:CPU compiles of the scanned
-# transformer take ~2 min cold).
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# transformer take ~2 min cold). KEYED PER CPU TYPE: XLA:CPU AOT results baked
+# for another machine's vector features load with only a warning and then
+# crash mid-test (SIGABRT/SIGILL class — observed when this repo's cache,
+# built on an avx512-richer host, was reused on a weaker one; the loader
+# prints "Machine type used for XLA:CPU compilation doesn't match").
+def _machine_tag() -> str:
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(f"{platform.machine()}|{feats}".encode()).hexdigest()[:12]
+
+
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache", _machine_tag())
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
