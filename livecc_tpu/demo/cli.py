@@ -19,7 +19,7 @@ import json
 
 
 def build_engine(model_path: str | None, cache_len: int = 8192,
-                 quantize_weights: bool = False):
+                 quantize_weights: bool = False, speculative: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -39,8 +39,13 @@ def build_engine(model_path: str | None, cache_len: int = 8192,
         params = init_params(cfg, jax.random.PRNGKey(0))
         tokenizer = ByteTokenizer()
         cache_dtype = jnp.float32
+    spec = None
+    if speculative:
+        from livecc_tpu.engine import SpecConfig
+        spec = SpecConfig()
     return LiveCCEngine(params, cfg, tokenizer, cache_len=cache_len,
-                        cache_dtype=cache_dtype, quantize_weights=quantize_weights)
+                        cache_dtype=cache_dtype, quantize_weights=quantize_weights,
+                        spec=spec)
 
 
 def main(argv=None):
@@ -55,12 +60,17 @@ def main(argv=None):
     parser.add_argument("--streaming-eos-threshold-step", type=float, default=0.0)
     parser.add_argument("--quantize-weights", action="store_true",
                         help="weight-only int8 LLM weights (half the HBM; ops/quant.py)")
+    parser.add_argument("--speculative", action="store_true",
+                        help="fused on-device lookahead decoding (n-gram "
+                             "drafts verified in one forward; "
+                             "engine/speculative.py)")
     args = parser.parse_args(argv)
 
     from livecc_tpu.engine import GenerationParams
     from livecc_tpu.engine.live import LiveCC
 
-    engine = build_engine(args.model, quantize_weights=args.quantize_weights)
+    engine = build_engine(args.model, quantize_weights=args.quantize_weights,
+                          speculative=args.speculative)
     gen = GenerationParams(
         max_new_tokens=args.max_new_tokens,
         eos_token_id=engine.cfg.eos_token_id,

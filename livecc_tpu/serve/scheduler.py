@@ -56,18 +56,26 @@ def _init_cache_len(engine: LiveCCEngine) -> int:
     return min(INIT_CACHE_LEN, engine.cache_len)
 
 
-def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
+def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool,
+                   spec=None):
     """One fused jit per tick: batched prefill + fused decode over the pool.
 
     Every row (stream) sits at its own cache depth — positions, key-validity
     and writes use the per-row offsets natively (no vmap, so GEMMs stay
     batched and the Pallas kernels see the whole pool in one grid).
+
+    ``spec`` (a fused SpecConfig, inherited from the engine) swaps the
+    plain fused decode for on-device lookahead decoding
+    (engine/speculative.py:decode_chunk_lookahead): n-gram drafts verified
+    one window per while-iteration, history in the pool's ``hist`` shadow.
+    The tick stays ONE dispatch either way.
     """
 
-    @functools.partial(jax.jit, donate_argnames=("cache", "counts", "last_tokens"),
-                       static_argnames=("group",))
+    @functools.partial(
+        jax.jit, donate_argnames=("cache", "counts", "last_tokens", "hist"),
+        static_argnames=("group",))
     def run(params, ids, valid, cache, patches, cos, sin, seg,
-            counts, last_tokens, deltas, active, rng, group=None):
+            counts, last_tokens, deltas, active, rng, hist=None, group=None):
         b, sb = ids.shape
         pos = jnp.broadcast_to(
             jnp.arange(sb)[None, None, :] + (cache.offset + deltas)[None, :, None],
@@ -79,29 +87,40 @@ def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool):
             params, cfg, ids, pos, valid, cache, vision=vision,
             counts=counts, remove_token=remove, use_flash=use_flash,
         )
-        tokens, n_gen, cache, counts = decode_chunk(
-            params, cfg, gen, logits0, cache, counts, deltas[:, None], rng,
-            use_flash=use_flash, active=active,
-        )
+        if spec is not None:
+            from livecc_tpu.engine.speculative import decode_chunk_lookahead
+
+            tokens, n_gen, cache, hist, counts = decode_chunk_lookahead(
+                params, cfg, gen, spec, ids, valid, logits0, cache, hist,
+                counts, deltas[:, None], rng, use_flash=use_flash, active=active,
+            )
+        else:
+            tokens, n_gen, cache, counts = decode_chunk(
+                params, cfg, gen, logits0, cache, counts, deltas[:, None], rng,
+                use_flash=use_flash, active=active,
+            )
         new_last = jnp.where(
             n_gen > 0,
             tokens[jnp.arange(b), jnp.maximum(n_gen - 1, 0)],
             -1,
         ).astype(jnp.int32)
         last_tokens = jnp.where(active, new_last, last_tokens)
-        return tokens, n_gen, cache, counts, last_tokens
+        return tokens, n_gen, cache, counts, last_tokens, hist
 
     return run
 
 
-@functools.partial(jax.jit, donate_argnames=("pool_cache", "pool_counts", "pool_last"))
-def _insert_slot(pool_cache, pool_counts, pool_last, slot, cache, counts, last):
+@functools.partial(jax.jit, donate_argnames=("pool_cache", "pool_counts",
+                                             "pool_last", "pool_hist"))
+def _insert_slot(pool_cache, pool_counts, pool_last, slot, cache, counts, last,
+                 pool_hist=None, hist=None):
     """Copy a (possibly SHORTER) solo cache into a pool slot.
 
     Init streams start with a small cache (see StreamServer.add_stream) so
     N simultaneously-joining streams don't hold N full-length caches next
     to the pool; the prefix past the solo length stays zero and sits beyond
-    the row's kv_limit, so it is never attended."""
+    the row's kv_limit, so it is never attended. ``hist`` (the lookahead
+    token-history shadow) rides along when speculation is on."""
 
     def put_kv(pool_arr, arr):
         if pool_arr is None:
@@ -126,7 +145,14 @@ def _insert_slot(pool_cache, pool_counts, pool_last, slot, cache, counts, last):
         put_scale(pool_cache.k_scale, cache.k_scale),
         put_scale(pool_cache.v_scale, cache.v_scale),
     )
-    return new_cache, pool_counts.at[slot].set(counts[0]), pool_last.at[slot].set(last)
+    if pool_hist is not None:
+        s = hist.shape[-1]
+        if s == pool_hist.shape[-1]:
+            pool_hist = pool_hist.at[slot].set(hist[0])
+        else:
+            pool_hist = pool_hist.at[slot, :s].set(hist[0])
+    return (new_cache, pool_counts.at[slot].set(counts[0]),
+            pool_last.at[slot].set(last), pool_hist)
 
 
 from livecc_tpu.engine.compact import (
@@ -180,7 +206,13 @@ class StreamServer:
         self.pool_caches: Optional[KVCache] = None      # stacked [C, ...]
         self.pool_counts: Optional[jnp.ndarray] = None  # [C, 1, V]
         self.pool_last: Optional[jnp.ndarray] = None    # [C] int32
+        self.pool_hist: Optional[jnp.ndarray] = None    # [C, Smax] int32 (lookahead)
         self._free: list[int] = list(range(capacity))
+
+    def _spec(self):
+        """The engine's fused SpecConfig, or None (lookahead off)."""
+        sp = getattr(self.engine, "spec", None)
+        return sp if (sp is not None and sp.fused) else None
 
     # -- stream lifecycle -------------------------------------------------
 
@@ -270,6 +302,8 @@ class StreamServer:
                 arrays[f"ks_{s.sid}"] = as_np(self.pool_caches.k_scale[:, slot])
                 arrays[f"vs_{s.sid}"] = as_np(self.pool_caches.v_scale[:, slot])
             arrays[f"counts_{s.sid}"] = np.asarray(self.pool_counts[slot])
+            if self.pool_hist is not None:
+                arrays[f"hist_{s.sid}"] = np.asarray(self.pool_hist[slot])
             meta.append({
                 "sid": s.sid, "resolution": list(s.resolution),
                 "query": s.query, "query_sent": s.query_sent,
@@ -335,6 +369,12 @@ class StreamServer:
             )
             self.pool_counts = self.pool_counts.at[slot].set(
                 jnp.asarray(data[f"counts_{old}"]))
+            if self.pool_hist is not None and f"hist_{old}" in data:
+                h = jnp.asarray(data[f"hist_{old}"])
+                n = min(h.shape[-1], self.pool_hist.shape[-1])
+                self.pool_hist = self.pool_hist.at[slot, :n].set(h[:n])
+            # (a missing hist leaves -1s: lookahead drafts just miss until
+            # new history accumulates — outputs stay correct by acceptance)
             self.pool_last = self.pool_last.at[slot].set(m["last"])
             self._streams[sid] = Stream(
                 sid=sid, resolution=tuple(m["resolution"]), query=m["query"],
@@ -399,12 +439,15 @@ class StreamServer:
         cfgv = engine.cfg.vision
         adopt_scratch = self.pool_caches is None   # scratch becomes the pool
         if self._step is None:
-            self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash)
+            self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash,
+                                        spec=self._spec())
         c = self.capacity
         scratch_cache = KVCache.zeros(engine.cfg.text, c, engine.cache_len,
                                       engine.cache_dtype)
         scratch_counts = jnp.zeros((c, engine.cfg.text.vocab_size), jnp.int32)
         scratch_last = jnp.full((c,), -1, jnp.int32)
+        scratch_hist = (jnp.full((c, engine.cache_len), -1, jnp.int32)
+                        if self._spec() is not None else None)
         for (h, w) in resolutions:
             # (a) solo init path (3D M-RoPE prefill + decode at the init
             # bucket) — at the SAME cache length add_stream uses: the solo
@@ -415,9 +458,10 @@ class StreamServer:
             engine.chunk_step(st, frames, 0.0, init_frames / engine.fps, query, self.gen)
             # also pre-compile the adoption copy (short solo cache -> pool
             # slot) — it otherwise compiles inside the first live tick
-            scratch_cache, scratch_counts, scratch_last = _insert_slot(
+            scratch_cache, scratch_counts, scratch_last, scratch_hist = _insert_slot(
                 scratch_cache, scratch_counts, scratch_last,
                 jnp.int32(0), st.cache, st.counts, jnp.int32(st.last_token),
+                pool_hist=scratch_hist, hist=st.hist,
             )
             del st
             if self.compact_keep:
@@ -449,10 +493,11 @@ class StreamServer:
                 engine.params, jnp.asarray(ids), jnp.asarray(valid),
                 scratch_cache, patches, vis0.cos, vis0.sin, vis0.seg_ids,
                 scratch_counts, scratch_last, jnp.zeros((c,), jnp.int32),
-                jnp.asarray(active), sub, group=vis0.group,
+                jnp.asarray(active), sub, hist=scratch_hist, group=vis0.group,
             )
             # the step donates the scratch state; carry the returned buffers
-            tokens_out, _, scratch_cache, scratch_counts, scratch_last = out
+            (tokens_out, _, scratch_cache, scratch_counts, scratch_last,
+             scratch_hist) = out
             # force completion on a REAL step output — materializing an
             # unrelated array can return before the step finishes through
             # the relay (CLAUDE.md), deferring the warmup compile/execution
@@ -471,6 +516,7 @@ class StreamServer:
             self.pool_caches = scratch_cache
             self.pool_counts = scratch_counts
             self.pool_last = scratch_last
+            self.pool_hist = scratch_hist
 
     # -- pool management ----------------------------------------------------
 
@@ -485,6 +531,8 @@ class StreamServer:
             (self.capacity, engine.cfg.text.vocab_size), jnp.int32
         )
         self.pool_last = jnp.full((self.capacity,), -1, jnp.int32)
+        if self._spec() is not None:
+            self.pool_hist = jnp.full((self.capacity, engine.cache_len), -1, jnp.int32)
 
     def _adopt(self, s: Stream) -> None:
         """Move a freshly-initialized stream's cache into a pool slot."""
@@ -493,9 +541,10 @@ class StreamServer:
         st = s.init_state
         if st.cache.max_len > self.pool_caches.max_len:
             raise RuntimeError("stream cache grew past the pool size; raise cache_len")
-        self.pool_caches, self.pool_counts, self.pool_last = _insert_slot(
+        self.pool_caches, self.pool_counts, self.pool_last, self.pool_hist = _insert_slot(
             self.pool_caches, self.pool_counts, self.pool_last,
             slot, st.cache, st.counts, jnp.int32(st.last_token),
+            pool_hist=self.pool_hist, hist=st.hist,
         )
         s.slot = slot
         s.rope_delta = st.rope_delta
@@ -519,6 +568,12 @@ class StreamServer:
         self.pool_caches = _compact_slot(
             self.pool_caches, jnp.int32(s.slot), jnp.int32(sink), jnp.int32(keep)
         )
+        if self.pool_hist is not None:
+            from livecc_tpu.engine.compact import compact_token_row
+
+            self.pool_hist = compact_token_row(
+                self.pool_hist, jnp.int32(old_off), jnp.int32(s.slot),
+                jnp.int32(sink), jnp.int32(keep))
         s.rope_delta += old_off - new_off
         s.length_ub = new_off
         self.engine.metrics.record("cache_compaction_dropped_tokens",
@@ -611,11 +666,15 @@ class StreamServer:
         # results dropped).
         max_bucket = 0
         charges: dict[int, int] = {}         # this tick's length growth per sid
+        # lookahead verify windows transiently write up to k_draft+1 KVs
+        # past the accepted frontier; reserve that overhang in the guard
+        spec_extra = 0 if self._spec() is None else self._spec().k_draft + 1
         for group_preps in groups.values():
             bucket = _bucket(max(len(p["ids"]) for p in group_preps))
             max_bucket = max(max_bucket, bucket)
             for p in group_preps:
-                charges[p["s"].sid] = len(p["ids"]) + self.gen.max_new_tokens
+                charges[p["s"].sid] = (len(p["ids"]) + self.gen.max_new_tokens
+                                       + spec_extra)
         for s in self._streams.values():
             if s.slot is None:
                 continue
@@ -675,12 +734,14 @@ class StreamServer:
             active[slot] = True
 
         if self._step is None:
-            self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash)
+            self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash,
+                                        spec=self._spec())
         engine._rng, sub = jax.random.split(engine._rng)
-        tokens, n_gen, self.pool_caches, self.pool_counts, self.pool_last = self._step(
+        (tokens, n_gen, self.pool_caches, self.pool_counts, self.pool_last,
+         self.pool_hist) = self._step(
             engine.params, jnp.asarray(ids), jnp.asarray(valid),
             self.pool_caches, patches, vis0.cos, vis0.sin, vis0.seg_ids,
             self.pool_counts, self.pool_last, jnp.asarray(deltas),
-            jnp.asarray(active), sub, group=vis0.group,
+            jnp.asarray(active), sub, hist=self.pool_hist, group=vis0.group,
         )
         return (tokens, n_gen, slot_map, time.perf_counter())

@@ -107,3 +107,15 @@ def test_live_video_shorter_than_init_window(engine, tmp_path):
             break
     assert session.video_end
     assert len(outs) >= 1
+
+
+def test_cli_speculative_smoke(video, tmp_path):
+    """--speculative builds a lookahead engine and produces the same JSON
+    shape (tiny random model; greedy parity is covered in test_speculative)."""
+    from livecc_tpu.demo import cli
+
+    out = tmp_path / "spec.json"
+    result = cli.main(["--video", video, "--seconds", "4", "--max-new-tokens", "4",
+                       "--output", str(out), "--streaming-eos-base-threshold", "-1",
+                       "--speculative"])
+    assert result["commentaries"]

@@ -366,3 +366,84 @@ def test_snapshot_restore_int8_pool(tmp_path):
     server_b.tick()
     server_b.flush()
     assert [t for _, t in server_b.drain(r0)] == ref
+
+
+def test_pool_lookahead_matches_plain_pool():
+    """Pool-level fused lookahead (engine.spec): identical texts to the
+    plain pool decode for the same streams/inputs (greedy, XLA path), with
+    the pool's token-history shadow threaded through adoption and ticks."""
+    from livecc_tpu.engine import SpecConfig
+    from livecc_tpu.models.qwen2_vl.model import init_params
+    import jax
+
+    def build(spec):
+        cfg = tiny_config()
+        params = init_params(cfg, jax.random.PRNGKey(11))
+        return LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=512, spec=spec)
+
+    outs = {}
+    for name, spec in (("plain", None), ("spec", SpecConfig(k_draft=3))):
+        engine = build(spec)
+        server = StreamServer(engine, gen_for(engine, max_new=5))
+        s0 = server.add_stream((28, 28), query="q")
+        s1 = server.add_stream((28, 28), query="other")
+        t = 3.0
+        server.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+        server.submit_chunk(s1, frames(9, 6), 0.0, 3.0)
+        server.tick()
+        for i in range(3):
+            server.submit_chunk(s0, frames(1 + i), t, t + 1.0)
+            server.submit_chunk(s1, frames(8 - i), t, t + 1.0)
+            server.tick()
+            t += 1.0
+        outs[name] = ([x for _, x in server.drain(s0)],
+                      [x for _, x in server.drain(s1)])
+        if spec is not None:
+            assert server.pool_hist is not None
+    assert outs["spec"] == outs["plain"]
+
+
+def test_pool_lookahead_compaction_and_snapshot(tmp_path):
+    """Lookahead pool across the horizon + snapshot/restore with hist."""
+    from livecc_tpu.engine import SpecConfig
+    from livecc_tpu.models.qwen2_vl.model import init_params
+    import jax
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(12))
+    engine = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=256,
+                          spec=SpecConfig(k_draft=3))
+    server = StreamServer(engine, gen_for(engine, max_new=4),
+                          compact_keep=64, compact_sink_cap=32)
+    sid = server.add_stream((28, 28), query="q")
+    server.submit_chunk(sid, frames(0, 6), 0.0, 3.0)
+    server.tick()
+    t = 3.0
+    for i in range(8):
+        server.submit_chunk(sid, frames(i + 1), t, t + 1.0)
+        server.tick()
+        t += 1.0
+    server.flush()
+    assert engine.metrics.summary("cache_compaction_dropped_tokens").get("n", 0) > 0
+    out_a = [x for _, x in server.drain(sid)]
+    assert len(out_a) == 9
+
+    path = str(tmp_path / "snap.npz")
+    server.snapshot(path)
+    engine2 = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=256,
+                           spec=SpecConfig(k_draft=3))
+    server2 = StreamServer(engine2, gen_for(engine2, max_new=4),
+                           compact_keep=64, compact_sink_cap=32)
+    (rid,) = server2.restore(path)
+    # restored hist row equals the snapshotted one
+    np.testing.assert_array_equal(
+        np.asarray(server.pool_hist[server._streams[sid].slot]),
+        np.asarray(server2.pool_hist[server2._streams[rid].slot]))
+    # both servers continue identically
+    server.submit_chunk(sid, frames(40), t, t + 1.0)
+    server.tick(); server.flush()
+    server2.submit_chunk(rid, frames(40), t, t + 1.0)
+    server2.tick(); server2.flush()
+    a = [x for _, x in server.drain(sid)]
+    b = [x for _, x in server2.drain(rid)]
+    assert a == b
