@@ -211,8 +211,16 @@ def bench_serving() -> dict:
     # compaction assume it. BENCH_KV=bf16 restores the old path.
     cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_KV", "int8" if on_tpu else "bf16")]
+    # BENCH_SPEC=1: fused on-device lookahead decoding in the pool tick
+    # (engine/speculative.py). Off by default pending the B=8 A/B: solo
+    # measured -15%; pool acceptance is min-over-rows per window.
+    spec = None
+    if os.environ.get("BENCH_SPEC", "0") == "1":
+        from livecc_tpu.engine import SpecConfig
+        spec = SpecConfig()
     engine = LiveCCEngine(
-        params, cfg, ByteTokenizer.for_config(cfg), cache_len=cache_len, cache_dtype=cache_dtype
+        params, cfg, ByteTokenizer.for_config(cfg), cache_len=cache_len,
+        cache_dtype=cache_dtype, spec=spec,
     )
     gen = GenerationParams(
         max_new_tokens=16,
@@ -303,6 +311,7 @@ def bench_serving() -> dict:
             "streams": N_STREAMS,
             "pace_s": pace,
             "kv_dtype": "int8" if cache_dtype == jnp.int8 else "bf16",
+            "lookahead": spec is not None,
             "calibration_tflops": cal["achieved_tflops"],
             "engine_metrics": engine.metrics.summary(),
         },

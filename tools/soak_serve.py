@@ -100,9 +100,13 @@ def main() -> None:
     kv = os.environ.get("SOAK_KV", "int8")
     cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[kv]
     w8 = os.environ.get("SOAK_W8", "0") == "1"
+    spec = None
+    if os.environ.get("SOAK_SPEC", "0") == "1":
+        from livecc_tpu.engine import SpecConfig
+        spec = SpecConfig()          # fused on-device lookahead decoding
     engine = LiveCCEngine(params, cfg, ByteTokenizer.for_config(cfg),
                           cache_len=cache_len, cache_dtype=cache_dtype,
-                          quantize_weights=w8)
+                          quantize_weights=w8, spec=spec)
     gen = GenerationParams(max_new_tokens=16, eos_token_id=cfg.eos_token_id,
                            pad_token_id=cfg.pad_token_id, repetition_penalty=1.05)
     compact_env = os.environ.get("SOAK_COMPACT", "auto")
