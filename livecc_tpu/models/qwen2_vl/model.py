@@ -200,6 +200,7 @@ def forward(
     compute_logits: bool = True,
     vision_images: Optional[VisionInputs] = None,   # image clips -> image_token_id slots
     remat: bool = False,
+    seq_shard: bool = False,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full multimodal forward. Returns (logits [B,S,V] fp32 or hidden, cache)."""
     embeds = embed_lookup(params["text"]["embed"]["weight"], input_ids)
@@ -237,7 +238,7 @@ def forward(
     hidden, new_cache = text_forward(
         params["text"], cfg.text, embeds, position_ids, cache=cache,
         attention_mask=attention_mask, kv_limit=kv_limit, use_flash=use_flash,
-        remat=remat,
+        remat=remat, seq_shard=seq_shard,
     )
     if not compute_logits:
         return hidden, new_cache

@@ -149,6 +149,7 @@ def text_forward(
     kv_limit: Optional[jnp.ndarray] = None,        # int32 scalar: keys < kv_limit valid (cache mode)
     use_flash: bool = False,
     remat: bool = False,
+    seq_shard: bool = False,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (final hidden states [B, S, H], updated cache or None).
 
@@ -161,6 +162,15 @@ def text_forward(
     without it a 28-layer 8k-token step stores an
     [L, B, Hq, S, S] residual (~90 GB, N9-equivalent of the reference's
     --gradient_checkpointing, scripts/pt_local.sh:21).
+
+    ``seq_shard`` (training under a TP mesh): megatron-style SEQUENCE
+    PARALLELISM expressed as GSPMD constraints — the residual stream is
+    sharded [data, model, -] along the sequence axis at every layer
+    boundary, so norms/elementwise regions hold 1/TP of the activations
+    per chip and XLA replaces the TP all-reduces after o/down projections
+    with reduce-scatters (+ all-gathers before qkv/gate). Numerics are
+    identical to the unsharded step (tested); requires an active mesh
+    with a "model" axis.
     """
     b, s, h = inputs_embeds.shape
     hq, hk, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -295,8 +305,18 @@ def text_forward(
         else:
             attend = lambda q, k, v: mha(q, k, v, mask=mask)
 
+        if seq_shard:
+            from jax.sharding import PartitionSpec as _P
+
+            from livecc_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+            _sp = lambda x: jax.lax.with_sharding_constraint(
+                x, _P(DATA_AXIS, MODEL_AXIS, None))
+        else:
+            _sp = lambda x: x
+
         def block(x, layer):
-            return attn_mlp(x, layer, attend), None
+            return _sp(attn_mlp(_sp(x), layer, attend)), None
 
         if remat:
             # remat=True -> full recompute. Named policies trade residual

@@ -70,6 +70,11 @@ class TrainConfig:
     remat: bool | str = True
     # Pallas flash attention with backward in the LLM (None = auto on TPU)
     use_flash: Optional[bool] = None
+    # Sequence parallelism under a TP mesh (megatron SP as GSPMD
+    # constraints: residual stream sharded along seq over the model axis;
+    # see models/qwen2_vl/text.py:text_forward). Requires mesh with a
+    # model axis; numerics identical to the unsharded step.
+    seq_shard: bool = False
 
 
 def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -156,7 +161,8 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
     hidden, _ = forward(params, cfg, ids, pos, vision=vision,
                         vision_images=vision_images,
                         attention_mask=mask, compute_logits=False,
-                        remat=tcfg.remat, use_flash=use_flash)
+                        remat=tcfg.remat, use_flash=use_flash,
+                        seq_shard=tcfg.seq_shard)
     if cfg.text.tie_word_embeddings:
         kernel = params["text"]["embed"]["weight"].T
     else:

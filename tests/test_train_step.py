@@ -143,3 +143,46 @@ def test_remat_names_policies_match_full_recompute():
         g = jax.grad(lambda p: loss(p, mode))(params)
         for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-8)
+
+
+def test_sequence_parallel_matches_unsharded():
+    """TrainConfig.seq_shard (megatron SP as GSPMD constraints): identical
+    loss/updated params to the plain TP step on the 4x2 CPU mesh."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_model=2, devices=devs[:8])
+    cfg = tiny_config()
+    batch0 = text_batch(cfg, accum=2, b=4, s=32)
+    bspec = Batch(
+        input_ids=P(None, "data"), labels=P(None, "data"),
+        position_ids=P(None, None, "data"), attention_mask=P(None, "data"),
+    )
+
+    def run(seq_shard):
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        tcfg = TrainConfig(learning_rate=1e-3, total_steps=10, seq_shard=seq_shard)
+        opt = make_optimizer(tcfg)
+        params = shard_params(params, mesh)
+        opt_state = opt.init(split_frozen(params, tcfg.freeze_modules)[0])
+        opt_specs = zero2_pspecs(opt_state, n_data=4)
+        opt_state = jax.tree_util.tree_map(
+            lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), opt_state, opt_specs
+        )
+        batch = jax.tree_util.tree_map(
+            lambda x, sp: x if x is None else jax.device_put(x, NamedSharding(mesh, sp)),
+            batch0, bspec, is_leaf=lambda x: x is None,
+        )
+        pshard = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), param_pspecs(params))
+        oshard = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), opt_specs)
+        with jax.set_mesh(mesh):
+            step = jax.jit(make_train_step(cfg, tcfg, opt),
+                           out_shardings=(pshard, oshard, None))
+            params, opt_state, metrics = step(params, opt_state, batch)
+        return float(metrics["loss"]), params
+
+    loss_tp, p_tp = run(False)
+    loss_sp, p_sp = run(True)
+    np.testing.assert_allclose(loss_sp, loss_tp, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_tp), jax.tree_util.tree_leaves(p_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

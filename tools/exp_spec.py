@@ -148,6 +148,24 @@ def main():
     emit({"probe": "plain_fused", "chunk_walls": [round(w, 4) for w in walls],
           "steady_median_s": round(steady(walls), 4)})
 
+    # High-acceptance regime: repetition_penalty < 1 BOOSTS seen tokens, so
+    # greedy chains lock into repeated phrases — the statistical shape of
+    # trained commentary (team names, score calls) — and the n-gram drafter
+    # predicts them. Honest ceiling demo for the fused path at 2B.
+    if os.environ.get("EXP_LOOP_REGIME", "1") == "1":
+        gen_loop = GenerationParams(
+            max_new_tokens=MAX_NEW, eos_token_id=cfg.eos_token_id,
+            pad_token_id=cfg.pad_token_id, repetition_penalty=0.9)
+        plain_l = LiveCCEngine(params, cfg, tok, cache_len=8192, cache_dtype=KV)
+        _, walls, _ = run(plain_l, gen_loop)
+        _, walls, _ = run(plain_l, gen_loop)
+        emit({"probe": "plain_loop_regime", "steady_median_s": round(steady(walls), 4)})
+        eng_l = LiveCCEngine(params, cfg, tok, cache_len=8192, cache_dtype=KV,
+                             spec=SpecConfig(k_draft=K))
+        _, walls, _ = run(eng_l, gen_loop)
+        _, walls, _ = run(eng_l, gen_loop)
+        emit({"probe": "fused_loop_regime", "steady_median_s": round(steady(walls), 4)})
+
     for name, src in [("fused", None), ("oracle", ReplayDraft(K)),
                       ("ngram", None), ("adversarial", WrongDraft(K))]:
         eng = LiveCCEngine(params, cfg, tok, cache_len=8192, cache_dtype=KV,
