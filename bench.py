@@ -37,8 +37,13 @@ import os
 
 # Persistent XLA compilation cache: TPU compiles through the relay cost
 # 25-645 s per program (CLAUDE.md); with the cache, repeated bench runs
-# re-execute in seconds and p99s stop counting compiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_cache")
+# re-execute in seconds and p99s stop counting compiles. SCOPED PER HOST
+# CPU TYPE: stale XLA:CPU AOT blobs from another machine abort mid-run
+# (utils/compile_cache.py) — this also overrides jax's default
+# ~/.cache/jax, which has the same hazard.
+from livecc_tpu.utils.compile_cache import enable_machine_scoped_cache
+
+enable_machine_scoped_cache("/tmp/tpu_cache")
 
 N_STREAMS = int(os.environ.get("BENCH_STREAMS", 8))
 N_WARMUP = 2

@@ -43,6 +43,9 @@ def main(argv=None):
                              "prefetch (reference: --dataloader_num_workers 16)")
     parser.add_argument("--overwrite_output_dir", action="store_true",
                         help="start fresh instead of resuming (train.py:29)")
+    parser.add_argument("--seq_shard", action="store_true",
+                        help="sequence parallelism under a TP mesh "
+                             "(megatron SP as GSPMD constraints)")
     parser.add_argument("--pack_seq", type=int, default=None,
                         help="sequence packing: pack variable-length samples "
                              "into rows of this many tokens (segment-id "
@@ -84,6 +87,7 @@ def main(argv=None):
         freeze_modules=tuple(args.freeze_modules),
         ce_sup_bucket=args.ce_sup_bucket,
         adam_mu_dtype=jnp.bfloat16 if args.adam_mu_dtype == "bf16" else None,
+        seq_shard=args.seq_shard,
     )
     run = TrainerConfig(
         output_dir=args.output_dir,

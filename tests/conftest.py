@@ -30,22 +30,11 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # crash mid-test (SIGABRT/SIGILL class — observed when this repo's cache,
 # built on an avx512-richer host, was reused on a weaker one; the loader
 # prints "Machine type used for XLA:CPU compilation doesn't match").
-def _machine_tag() -> str:
-    import hashlib
-    import platform
+import sys
 
-    feats = ""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-    except OSError:
-        pass
-    return hashlib.sha1(f"{platform.machine()}|{feats}".encode()).hexdigest()[:12]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from livecc_tpu.utils.compile_cache import machine_tag  # noqa: E402
 
-
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache", _machine_tag())
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache", machine_tag())
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
