@@ -10,6 +10,7 @@ engine for zero-copy streaming).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -139,6 +140,42 @@ def _write_scale(scale_all, li, st, offsets):
     return _write_rows(scale_all, li, st, offsets, pos_axis=4)
 
 
+def decoder_block(x, layer, attend, *, cfg: TextConfig, cos, sin, remat=False):
+    """One decoder layer: (pre-norm attention + residual, pre-norm SwiGLU
+    MLP + residual). ``attend`` supplies the attention implementation
+    (cached flash / train splash / XLA reference) — shared by text_forward
+    and the pipeline-parallel stage runner (parallel/pipeline.py).
+
+    ``remat``="names"/"names_mlp" tags the projection outputs for the
+    named-save checkpoint policies; tags are inserted ONLY then (name_p
+    markers perturb XLA's partitioner on the mesh path otherwise —
+    observed SIGABRT in the CPU mesh trainer test under remat=True)."""
+    b, s, h = x.shape
+    hq, hk, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    if remat in ("names", "names_mlp"):
+        from jax.ad_checkpoint import checkpoint_name as _tag
+    else:
+        _tag = lambda v, _n: v
+
+    # dense() accepts plain or int8-quantized kernels (ops/quant.py)
+    y = rms_norm(x, layer["input_ln"], cfg.rms_norm_eps)
+    q = (dense(y, layer["q_kernel"]) + layer["q_bias"]).reshape(b, s, hq, hd)
+    k = (dense(y, layer["k_kernel"]) + layer["k_bias"]).reshape(b, s, hk, hd)
+    v = (dense(y, layer["v_kernel"]) + layer["v_bias"]).reshape(b, s, hk, hd)
+    q = _tag(q, "remat_qkv")
+    k = _tag(k, "remat_qkv")
+    v = _tag(v, "remat_qkv")
+    q, k = apply_mrope(q, k, cos, sin)
+    attn = attend(q, k, v)
+    x = x + _tag(dense(attn.reshape(b, s, h), layer["o_kernel"]), "remat_o")
+    y = rms_norm(x, layer["post_ln"], cfg.rms_norm_eps)
+    y = _tag(
+        jax.nn.silu(dense(y, layer["gate_kernel"])) * dense(y, layer["up_kernel"]),
+        "remat_mlp")
+    y = _tag(dense(y, layer["down_kernel"]), "remat_down")
+    return x + y
+
+
 def text_forward(
     params: Params,
     cfg: TextConfig,
@@ -201,34 +238,8 @@ def text_forward(
     if cache is not None and kv_limit is None:
         kv_limit = cache.offset + s
 
-    # remat="names"/"names_mlp" saves the tagged projection outputs so the
-    # backward skips re-running those matmuls. The tags are inserted ONLY
-    # when a names policy is selected: name_p markers perturb XLA's
-    # partitioner on the mesh/default path (observed SIGABRT in the CPU
-    # mesh trainer test with tags present under remat=True).
-    if remat in ("names", "names_mlp"):
-        from jax.ad_checkpoint import checkpoint_name as _tag
-    else:
-        _tag = lambda x, _n: x
-
-    def attn_mlp(x, layer, attend):
-        # dense() accepts plain or int8-quantized kernels (ops/quant.py)
-        y = rms_norm(x, layer["input_ln"], cfg.rms_norm_eps)
-        q = (dense(y, layer["q_kernel"]) + layer["q_bias"]).reshape(b, s, hq, hd)
-        k = (dense(y, layer["k_kernel"]) + layer["k_bias"]).reshape(b, s, hk, hd)
-        v = (dense(y, layer["v_kernel"]) + layer["v_bias"]).reshape(b, s, hk, hd)
-        q = _tag(q, "remat_qkv")
-        k = _tag(k, "remat_qkv")
-        v = _tag(v, "remat_qkv")
-        q, k = apply_mrope(q, k, cos, sin)
-        attn = attend(q, k, v)
-        x = x + _tag(dense(attn.reshape(b, s, h), layer["o_kernel"]), "remat_o")
-        y = rms_norm(x, layer["post_ln"], cfg.rms_norm_eps)
-        y = _tag(
-            jax.nn.silu(dense(y, layer["gate_kernel"])) * dense(y, layer["up_kernel"]),
-            "remat_mlp")
-        y = _tag(dense(y, layer["down_kernel"]), "remat_down")
-        return x + y
+    attn_mlp = functools.partial(decoder_block, cfg=cfg, cos=cos, sin=sin,
+                                 remat=remat)
 
     if cache is not None:
         # The whole cache rides in the scan CARRY and is updated with

@@ -1,0 +1,74 @@
+"""Pipeline-parallel training step (GPipe over the model axis): loss and
+updated params match the single-device step exactly on the virtual CPU
+mesh. Beyond-reference parallelism (SURVEY.md §2c: reference has no PP)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from livecc_tpu.core.config import tiny_config
+from livecc_tpu.core.mesh import make_mesh
+from livecc_tpu.models.qwen2_vl.model import init_params
+from livecc_tpu.parallel.pipeline import make_pp_train_step, pp_param_pspecs, shard_params_pp
+from livecc_tpu.train import Batch, TrainConfig, make_optimizer, make_train_step, split_frozen
+
+
+def text_batch(cfg, accum, b, s, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(8, cfg.text.vocab_size, size=(accum, b, s)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, :, : s // 2] = -100
+    pos = np.broadcast_to(np.arange(s)[None, None, None], (accum, 3, b, s)).astype(np.int32)
+    return Batch(
+        input_ids=jnp.asarray(ids), labels=jnp.asarray(labels),
+        position_ids=jnp.asarray(np.ascontiguousarray(pos)),
+        attention_mask=jnp.ones((accum, b, s), bool),
+    )
+
+
+@pytest.mark.parametrize("n_data,n_stage", [(1, 2), (2, 2)])
+def test_pp_matches_single_device(n_data, n_stage):
+    devs = jax.devices()
+    if len(devs) < n_data * n_stage:
+        pytest.skip("needs more virtual devices")
+    cfg = tiny_config()
+    assert cfg.text.num_hidden_layers % n_stage == 0
+    tcfg = TrainConfig(learning_rate=1e-3, total_steps=10, ce_chunk_size=16)
+    batch = text_batch(cfg, accum=4, b=2, s=32)
+
+    # single-device reference
+    params0 = init_params(cfg, jax.random.PRNGKey(0))
+    opt = make_optimizer(tcfg)
+    opt_state = opt.init(split_frozen(params0, tcfg.freeze_modules)[0])
+    step_ref = jax.jit(make_train_step(cfg, tcfg, opt))
+    p_ref, _, m_ref = step_ref(params0, opt_state, batch)
+
+    # pipeline step on the mesh
+    mesh = make_mesh(n_data=n_data, n_model=n_stage,
+                     devices=devs[: n_data * n_stage])
+    params = shard_params_pp(init_params(cfg, jax.random.PRNGKey(0)), mesh)
+    opt2 = make_optimizer(tcfg)
+    opt_state2 = opt2.init(split_frozen(params, tcfg.freeze_modules)[0])
+    with jax.set_mesh(mesh):
+        step_pp = jax.jit(make_pp_train_step(cfg, tcfg, opt2, mesh))
+        p_pp, _, m_pp = step_pp(params, opt_state2, batch)
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    assert int(m_pp["tokens"]) == int(m_ref["tokens"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        p_ref, p_pp,
+    )
+
+
+def test_pp_param_pspecs_layers_sharded():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    specs = pp_param_pspecs(params)
+    assert specs["text"]["layers"]["q_kernel"] == jax.sharding.PartitionSpec("model")
+    assert specs["text"]["embed"]["weight"] == jax.sharding.PartitionSpec()
+    assert specs["visual"]["patch_embed"]["kernel"] == jax.sharding.PartitionSpec() \
+        if "patch_embed" in params["visual"] else True
