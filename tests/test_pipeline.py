@@ -70,5 +70,4 @@ def test_pp_param_pspecs_layers_sharded():
     specs = pp_param_pspecs(params)
     assert specs["text"]["layers"]["q_kernel"] == jax.sharding.PartitionSpec("model")
     assert specs["text"]["embed"]["weight"] == jax.sharding.PartitionSpec()
-    assert specs["visual"]["patch_embed"]["kernel"] == jax.sharding.PartitionSpec() \
-        if "patch_embed" in params["visual"] else True
+    assert specs["text"]["final_ln"] == jax.sharding.PartitionSpec()
