@@ -71,3 +71,36 @@ def test_pp_param_pspecs_layers_sharded():
     assert specs["text"]["layers"]["q_kernel"] == jax.sharding.PartitionSpec("model")
     assert specs["text"]["embed"]["weight"] == jax.sharding.PartitionSpec()
     assert specs["text"]["final_ln"] == jax.sharding.PartitionSpec()
+
+
+def test_pp_four_stages():
+    """PP=4 on a deeper tiny config (one layer per stage)."""
+    import dataclasses
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    base = tiny_config()
+    cfg = dataclasses.replace(
+        base, text=dataclasses.replace(base.text, num_hidden_layers=4))
+    tcfg = TrainConfig(learning_rate=1e-3, total_steps=10, ce_chunk_size=16)
+    batch = text_batch(cfg, accum=4, b=2, s=32)
+
+    params0 = init_params(cfg, jax.random.PRNGKey(1))
+    opt = make_optimizer(tcfg)
+    opt_state = opt.init(split_frozen(params0, tcfg.freeze_modules)[0])
+    p_ref, _, m_ref = jax.jit(make_train_step(cfg, tcfg, opt))(params0, opt_state, batch)
+
+    mesh = make_mesh(n_data=1, n_model=4, devices=devs[:4])
+    params = shard_params_pp(init_params(cfg, jax.random.PRNGKey(1)), mesh)
+    opt2 = make_optimizer(tcfg)
+    opt_state2 = opt2.init(split_frozen(params, tcfg.freeze_modules)[0])
+    with jax.set_mesh(mesh):
+        step_pp = jax.jit(make_pp_train_step(cfg, tcfg, opt2, mesh))
+        p_pp, _, m_pp = step_pp(params, opt_state2, batch)
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        p_ref, p_pp,
+    )
