@@ -37,6 +37,18 @@ def plan_compaction(old_off: int, sink_cap: int, keep_cap: int,
     return sink, keep, min(old_off, sink + keep)
 
 
+def _evict_index_map(off, sink, keep, n: int):
+    """Position gather map for sink+window eviction — the ONE map shared by
+    the KV compaction and the token-history (lookahead) compaction, so
+    hist[row, p] stays the id of cache position p by construction.
+    i < sink -> i ; else -> off - keep + (i - sink); exact no-op (identity)
+    when the window already covers the whole history."""
+    noop = off <= sink + keep
+    i = jnp.arange(n)
+    idx = jnp.where(i < sink, i, off - keep + (i - sink))
+    return jnp.where(noop, i, jnp.clip(idx, 0, n - 1))
+
+
 @functools.partial(jax.jit, donate_argnames=("cache",))
 def compact_cache_row(cache: KVCache, row, sink, keep) -> KVCache:
     """Evict the middle of row ``row``: keep ``[0, sink)`` + the last
@@ -49,19 +61,9 @@ def compact_cache_row(cache: KVCache, row, sink, keep) -> KVCache:
     new_off = jnp.minimum(off, sink + keep)
     smax = cache.max_len
 
-    # When the window already covers the whole history (off <= sink+keep)
-    # the gather map would fold positions in [sink, off) through negative
-    # indices — compaction must be an exact no-op instead.
-    noop = off <= sink + keep
-
     def gather_positions(arr, axis):
-        # index map: i < sink -> i ; else -> off - keep + (i - sink),
-        # clamped into [0, smax) (positions beyond new_off are dead).
         r = jax.lax.dynamic_index_in_dim(arr, row, axis=1, keepdims=False)
-        i = jnp.arange(smax)
-        idx = jnp.where(i < sink, i, off - keep + (i - sink))
-        idx = jnp.where(noop, i, jnp.clip(idx, 0, smax - 1))
-        new_r = jnp.take(r, idx, axis=axis)
+        new_r = jnp.take(r, _evict_index_map(off, sink, keep, smax), axis=axis)
         return jax.lax.dynamic_update_index_in_dim(arr, new_r, row, axis=1)
 
     g_kv = lambda a: None if a is None else gather_positions(a, axis=-2)
@@ -78,11 +80,8 @@ def compact_token_row(hist: jnp.ndarray, off, row, sink, keep) -> jnp.ndarray:
     """Apply the same sink+window eviction to a row of the token-history
     buffer (the id-shadow of the KV cache used by fused lookahead decoding,
     engine/speculative.py): hist[row, p] stays the id of cache position p
-    after compaction. ``off`` is the row's pre-compaction offset."""
+    after compaction — guaranteed by sharing _evict_index_map with
+    compact_cache_row. ``off`` is the row's pre-compaction offset."""
     hcap = hist.shape[-1]
-    noop = off <= sink + keep
-    r = hist[row]
-    i = jnp.arange(hcap)
-    idx = jnp.where(i < sink, i, off - keep + (i - sink))
-    idx = jnp.where(noop, i, jnp.clip(idx, 0, hcap - 1))
-    return hist.at[row].set(jnp.take(r, idx))
+    idx = _evict_index_map(off, sink, keep, hcap)
+    return hist.at[row].set(jnp.take(hist[row], idx))

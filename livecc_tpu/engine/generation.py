@@ -67,6 +67,26 @@ def apply_repetition_penalty(logits: jnp.ndarray, presence: jnp.ndarray, penalty
     return jnp.where(presence, penalized, logits)
 
 
+def adjust_logits(logits: jnp.ndarray, counts: jnp.ndarray,
+                  gen: "GenerationParams", step_index) -> jnp.ndarray:
+    """Repetition penalty + streaming ThresholdLogitsProcessor
+    (demo/infer.py:10-23) — the ONE implementation shared by the fused
+    decode loop and the speculative verify paths
+    (engine/speculative.py:_accept_scan), so their greedy parity holds by
+    construction. ``step_index`` is the count of tokens already emitted
+    this chunk: a scalar (fused decode) or per-row [B] (verify windows)."""
+    logits = apply_repetition_penalty(logits, counts > 0, gen.repetition_penalty)
+    if gen.streaming_threshold_base >= 0 and gen.streaming_eos_token_id >= 0:
+        threshold = (gen.streaming_threshold_base
+                     + gen.streaming_threshold_step * step_index)
+        prob = jax.nn.softmax(logits, axis=-1)[:, gen.streaming_eos_token_id]
+        low = prob <= threshold
+        logits = logits.at[:, gen.streaming_eos_token_id].set(
+            jnp.where(low, _NEG_INF, logits[:, gen.streaming_eos_token_id])
+        )
+    return logits
+
+
 def select_token(
     logits: jnp.ndarray,                   # [B, V] fp32
     gen: GenerationParams,
@@ -188,14 +208,7 @@ def decode_chunk(
 
     def sample(logits, counts, stopped, key, i):
         """Shared per-step sampling: penalty, threshold, token, counts."""
-        logits = apply_repetition_penalty(logits, counts > 0, gen.repetition_penalty)
-        if gen.streaming_threshold_base >= 0 and gen.streaming_eos_token_id >= 0:
-            threshold = gen.streaming_threshold_base + gen.streaming_threshold_step * i
-            prob = jax.nn.softmax(logits, axis=-1)[:, gen.streaming_eos_token_id]
-            low = prob <= threshold
-            logits = logits.at[:, gen.streaming_eos_token_id].set(
-                jnp.where(low, _NEG_INF, logits[:, gen.streaming_eos_token_id])
-            )
+        logits = adjust_logits(logits, counts, gen, i)
         token = select_token(logits, gen, key)                      # [B]
         token_out = jnp.where(stopped, gen.pad_token_id, token)
         counts = counts.at[jnp.arange(counts.shape[0]), token].add(

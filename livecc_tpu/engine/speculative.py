@@ -62,8 +62,7 @@ from jax import lax
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.engine.generation import (
     GenerationParams,
-    _NEG_INF,
-    apply_repetition_penalty,
+    adjust_logits,
     select_token,
 )
 from livecc_tpu.models.qwen2_vl.model import forward
@@ -104,15 +103,9 @@ def _accept_scan(gen: GenerationParams, k_draft: int, srcs: jnp.ndarray,
     def body(carry, xs):
         counts, accepting, stopped, emitted = carry
         logits, d_j, j = xs                                      # [B,V], [B], scalar
-        logits = apply_repetition_penalty(logits, counts > 0, gen.repetition_penalty)
-        if gen.streaming_threshold_base >= 0 and gen.streaming_eos_token_id >= 0:
-            thr = (gen.streaming_threshold_base
-                   + gen.streaming_threshold_step * (step_idx + j))  # [B]
-            prob = jax.nn.softmax(logits, axis=-1)[:, gen.streaming_eos_token_id]
-            low = prob <= thr
-            logits = logits.at[:, gen.streaming_eos_token_id].set(
-                jnp.where(low, _NEG_INF, logits[:, gen.streaming_eos_token_id])
-            )
+        # the SAME penalty+threshold core decode_chunk samples with —
+        # greedy parity between the paths holds by construction
+        logits = adjust_logits(logits, counts, gen, step_idx + j)
         cand = select_token(logits, gen, jax.random.fold_in(rng, j))  # [B]
         emit = accepting & ~stopped
         token_out = jnp.where(emit, cand, gen.pad_token_id)

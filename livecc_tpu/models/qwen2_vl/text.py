@@ -140,6 +140,36 @@ def _write_scale(scale_all, li, st, offsets):
     return _write_rows(scale_all, li, st, offsets, pos_axis=4)
 
 
+def remat_policy(remat: bool | str):
+    """Checkpoint policy for a truthy ``remat`` value — the ONE mapping
+    shared by text_forward and the pipeline stage runner (a mismatch
+    between decoder_block's name tags and the applied policy is the
+    documented SIGABRT combination on the mesh path).
+
+    remat=True -> full recompute. Named policies trade residual HBM for
+    skipping matmul re-runs in the backward (the splash attention fwd
+    always re-runs: its logsumexp residual lives inside the library
+    custom_vjp and cannot be name-saved):
+      "names"     — save qkv/o/down projection outputs (~83 MB/layer bf16
+                    at seq 8k; skips ~1/3 of the recompute matmul FLOPs)
+      "names_mlp" — additionally save the silu(gate)*up product
+                    (+140 MB/layer; ~80% of recompute matmuls skipped)
+      "dots"      — XLA's save-all-matmul-outputs policy (reproducibly
+                    crashed the relay's remote compiler at the 8k training
+                    shape; kept for directly-attached chips)
+    Both named policies measured NEGATIVE on the v5e relay chip (the step
+    is HBM-bound; PERF.md round 3) — True stays the default."""
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if remat == "names":
+        return jax.checkpoint_policies.save_only_these_names(
+            "remat_qkv", "remat_o", "remat_down")
+    if remat == "names_mlp":
+        return jax.checkpoint_policies.save_only_these_names(
+            "remat_qkv", "remat_o", "remat_down", "remat_mlp")
+    return jax.checkpoint_policies.nothing_saveable
+
+
 def decoder_block(x, layer, attend, *, cfg: TextConfig, cos, sin, remat=False):
     """One decoder layer: (pre-norm attention + residual, pre-norm SwiGLU
     MLP + residual). ``attend`` supplies the attention implementation
@@ -330,31 +360,7 @@ def text_forward(
             return _sp(attn_mlp(_sp(x), layer, attend)), None
 
         if remat:
-            # remat=True -> full recompute. Named policies trade residual
-            # HBM for skipping matmul re-runs in the backward (the splash
-            # attention fwd always re-runs: its logsumexp residual lives
-            # inside the library custom_vjp and cannot be name-saved):
-            #   "names"     — save qkv/o/down projection outputs
-            #                 (~83 MB/layer bf16 at seq 8k; skips ~1/3 of
-            #                 the recompute matmul FLOPs)
-            #   "names_mlp" — additionally save the silu(gate)*up product
-            #                 (+140 MB/layer; skips the gate/up re-run too,
-            #                 ~80% of recompute matmul FLOPs total)
-            #   "dots"      — XLA's save-all-matmul-outputs policy
-            #                 (reproducibly crashed the relay's remote
-            #                 compiler at the 8k training shape; kept for
-            #                 experiments on directly-attached chips)
-            if remat == "dots":
-                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            elif remat == "names":
-                policy = jax.checkpoint_policies.save_only_these_names(
-                    "remat_qkv", "remat_o", "remat_down")
-            elif remat == "names_mlp":
-                policy = jax.checkpoint_policies.save_only_these_names(
-                    "remat_qkv", "remat_o", "remat_down", "remat_mlp")
-            else:
-                policy = jax.checkpoint_policies.nothing_saveable
-            block = jax.checkpoint(block, policy=policy)
+            block = jax.checkpoint(block, policy=remat_policy(remat))
         x, _ = lax.scan(block, inputs_embeds, params["layers"])
         new_cache = None
 

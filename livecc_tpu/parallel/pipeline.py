@@ -38,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
-from livecc_tpu.models.qwen2_vl.text import decoder_block
+from livecc_tpu.models.qwen2_vl.text import decoder_block, remat_policy
 from livecc_tpu.ops.attention import causal_mask, mha, train_flash_attention
 from livecc_tpu.ops.chunked_ce import chunked_cross_entropy
 from livecc_tpu.ops.norms import rms_norm
@@ -84,11 +84,20 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
     def stage_forward(layers_shard, x, cos, sin, mask):
         """Run this stage's layer slice on one microbatch activation."""
         if use_flash:
+            # the splash/flash kernels take bool validity OR int32 segment
+            # ids (sequence packing) natively
             attend = lambda q, k, v: train_flash_attention(q, k, v, mask)
         else:
             full = causal_mask(x.shape[1])[None, None]
             if mask is not None:
-                full = full & mask[:, None, None, :]
+                if mask.dtype == jnp.bool_:
+                    full = full & mask[:, None, None, :]
+                else:
+                    # int32 segment ids (packed batches): same-segment only,
+                    # id 0 = pad — mirrors text_forward's packing branch
+                    pair = (mask[:, None, :, None] == mask[:, None, None, :]) & (
+                        mask > 0)[:, None, None, :]
+                    full = full & pair
             attend = lambda q, k, v: mha(q, k, v, mask=full)
 
         def block(h, layer):
@@ -96,8 +105,10 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
                                  sin=sin, remat=tcfg.remat), None
 
         if tcfg.remat:
-            block = jax.checkpoint(block,
-                                   policy=jax.checkpoint_policies.nothing_saveable)
+            # remat_policy matches decoder_block's name tags — using any
+            # other policy with the "names" modes is the documented
+            # mesh-path SIGABRT combination (models/qwen2_vl/text.py)
+            block = jax.checkpoint(block, policy=remat_policy(tcfg.remat))
         x, _ = lax.scan(block, x, layers_shard)
         return x
 

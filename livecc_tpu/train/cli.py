@@ -55,6 +55,12 @@ def main(argv=None):
                              "parallel 2); replaces the reference's torchrun "
                              "--nproc_per_node + deepspeed_zero2.json")
     args = parser.parse_args(argv)
+    if args.seq_shard:
+        model_ax = int(args.mesh.lower().split("x")[1]) if args.mesh else 0
+        if model_ax < 2:
+            parser.error("--seq_shard requires --mesh DATAxMODEL with "
+                         "MODEL >= 2 (sequence parallelism shards "
+                         "activations over the model axis)")
 
     import jax
     import jax.numpy as jnp

@@ -239,6 +239,13 @@ class Trainer:
         else:
             packed, left = pack_samples(self._pack_buf, self.run.pack_seq,
                                         max_rows=target)
+        if not packed:
+            # every fetched sample was dropped (longer than pack_seq) or
+            # nothing packed: training would silently run on all-pad rows
+            raise RuntimeError(
+                f"pack_seq={self.run.pack_seq} produced no packed rows from "
+                f"{len(self._pack_buf)} fetched samples — the corpus's "
+                "samples are longer than pack_seq; raise it")
         self._pack_buf = left
         return self._place_batch(collate_packed_rows(
             packed, self.cfg, rows=self.batch_rows, accum=self.run.accum_steps))

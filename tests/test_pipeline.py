@@ -104,3 +104,50 @@ def test_pp_four_stages():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         p_ref, p_pp,
     )
+
+
+def test_pp_packed_segment_batch():
+    """PP on a PACKED batch (int32 segment-id attention): matches the
+    single-device step on the same packed batch — regression for the XLA
+    mask path silently bit-ANDing segment ids (code review r3)."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from livecc_tpu.train.data import collate_packed_rows, pack_samples
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(5)
+
+    def sample(n):
+        ids = rng.randint(8, cfg.text.vocab_size, size=(1, n)).astype(np.int32)
+        labels = ids.copy()
+        labels[:, : n // 2] = -100
+        pos = np.broadcast_to(np.arange(n)[None, None], (3, 1, n)).astype(np.int32)
+        return {"input_ids": ids, "labels": labels,
+                "position_ids": np.ascontiguousarray(pos),
+                "pixel_patches": None, "video_grid_thw": None,
+                "image_patches": None, "image_grid_thw": None}
+
+    packed, _ = pack_samples([sample(n) for n in (20, 12, 24, 8, 16, 18)], 40)
+    batch = collate_packed_rows(packed, cfg, rows=1, accum=len(packed))
+    batch = Batch(input_ids=batch.input_ids, labels=batch.labels,
+                  position_ids=batch.position_ids,
+                  attention_mask=batch.attention_mask)
+    assert batch.attention_mask.dtype == jnp.int32
+    assert int(batch.attention_mask.max()) >= 2
+
+    tcfg = TrainConfig(learning_rate=1e-3, total_steps=10, ce_chunk_size=16)
+    params0 = init_params(cfg, jax.random.PRNGKey(2))
+    opt = make_optimizer(tcfg)
+    opt_state = opt.init(split_frozen(params0, tcfg.freeze_modules)[0])
+    _, _, m_ref = jax.jit(make_train_step(cfg, tcfg, opt))(params0, opt_state, batch)
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=devs[:2])
+    params = shard_params_pp(init_params(cfg, jax.random.PRNGKey(2)), mesh)
+    opt2 = make_optimizer(tcfg)
+    opt_state2 = opt2.init(split_frozen(params, tcfg.freeze_modules)[0])
+    with jax.set_mesh(mesh):
+        _, _, m_pp = jax.jit(make_pp_train_step(cfg, tcfg, opt2, mesh))(
+            params, opt_state2, batch)
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    assert int(m_pp["tokens"]) == int(m_ref["tokens"])
