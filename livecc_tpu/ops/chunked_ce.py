@@ -56,7 +56,14 @@ def chunked_cross_entropy(
         l, c = chunk_loss(hid, lab)
         return (loss + l, count + c), None
 
-    (loss, count), _ = lax.scan(body, (jnp.float32(0.0), jnp.int32(0)), (hidden, labels))
+    # Initial carries derive their varying-axes type from the operands so
+    # the scan is shard_map-safe (a literal 0.0 is unvarying; the body's
+    # outputs vary over whatever axes hidden/labels vary over — e.g. when
+    # this runs inside the pipeline-parallel last stage). Constant-folds to
+    # plain zeros outside shard_map.
+    zero_f = jnp.float32(0.0) + 0.0 * hidden[0, 0, 0, 0].astype(jnp.float32)
+    zero_i = jnp.int32(0) + 0 * labels[0, 0, 0]
+    (loss, count), _ = lax.scan(body, (zero_f, zero_i), (hidden, labels))
     return loss, count
 
 

@@ -112,9 +112,11 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
         x, _ = lax.scan(block, x, layers_shard)
         return x
 
-    def pp_fn(layers_shard, embeds, cos, sin, mask):
-        """Per-device GPipe schedule. embeds/cos/sin/mask carry the
-        microbatch dim M in front; layers_shard is this stage's slice."""
+    def pp_fn(layers_shard, final_ln, lm_kernel, embeds, cos, sin, mask, labels):
+        """Per-device GPipe schedule. embeds/cos/sin/mask/labels carry the
+        microbatch dim M in front; layers_shard is this stage's slice;
+        final_ln/lm_kernel are replicated (the CE head runs on the LAST
+        stage — only two scalars ever cross the model axis)."""
         m = embeds.shape[0]
         stage = lax.axis_index(MODEL_AXIS)
         n_ticks = m + n_stage - 1
@@ -149,22 +151,33 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
             return (recv, outs), None
 
         (recv, outs), _ = lax.scan(tick, (recv0, outs0), jnp.arange(n_ticks))
-        # only the last stage holds real outputs; replicate over the model
-        # axis so downstream (final_ln + CE) runs replicated
-        outs = jnp.where(stage == n_stage - 1, outs, 0.0)
-        return lax.psum(outs, MODEL_AXIS)
+        # CE on the LAST stage only: the full [M, Bd, S, H] hidden states
+        # never cross the model axis — only (loss_sum, count) do. Other
+        # stages run the same (masked-to-zero) CE so the collective is a
+        # plain psum of scalars.
+        hidden = rms_norm(outs, final_ln, cfg.text.rms_norm_eps)
+        b, s = hidden.shape[1], hidden.shape[2]
+        loss, count = chunked_cross_entropy(
+            hidden.reshape(m * b, s, -1), lm_kernel, labels.reshape(m * b, s),
+            chunk_size=tcfg.ce_chunk_size)
+        last = stage == n_stage - 1
+        loss = lax.psum(jnp.where(last, loss, 0.0), MODEL_AXIS)
+        count = lax.psum(jnp.where(last, count, 0), MODEL_AXIS)
+        # data-parallel reduction: token-weighted global mean
+        loss = lax.psum(loss, DATA_AXIS)
+        count = lax.psum(count, DATA_AXIS)
+        return loss, count
 
     pp_sharded = jax.shard_map(
         pp_fn, mesh=mesh,
-        in_specs=(P(MODEL_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
-                  P(None, DATA_AXIS), P(None, DATA_AXIS)),
-        out_specs=P(None, DATA_AXIS),
+        in_specs=(P(MODEL_AXIS), P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                  P(None, DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=(P(), P()),
     )
 
     def loss_fn(trainable, frozen, batch: Batch):
         params = {**frozen, **trainable}
         tp = params["text"]
-        m = batch.input_ids.shape[0]
         embeds = jax.vmap(lambda ids: embed_lookup(tp["embed"]["weight"], ids))(
             batch.input_ids)                                # [M, B, S, H]
         cos, sin = jax.vmap(
@@ -173,21 +186,17 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
         )(batch.position_ids)
         cos = cos.astype(embeds.dtype)
         sin = sin.astype(embeds.dtype)
-        hidden = pp_sharded(tp["layers"], embeds, cos, sin, batch.attention_mask)
-        hidden = rms_norm(hidden, tp["final_ln"], cfg.text.rms_norm_eps)
         if cfg.text.tie_word_embeddings:
             kernel, scale = vocab_kernel(tp["embed"]["weight"], transpose=True)
         else:
             kernel, scale = vocab_kernel(tp["lm_head"]["kernel"], transpose=False)
         if scale is not None:
-            kernel = kernel.astype(hidden.dtype) * scale
+            kernel = kernel.astype(embeds.dtype) * scale
         shifted = jnp.concatenate(
             [batch.labels[:, :, 1:], jnp.full_like(batch.labels[:, :, :1], -100)],
             axis=2)
-        b, s = hidden.shape[1], hidden.shape[2]
-        loss, count = chunked_cross_entropy(
-            hidden.reshape(m * b, s, -1), kernel, shifted.reshape(m * b, s),
-            chunk_size=tcfg.ce_chunk_size)
+        loss, count = pp_sharded(tp["layers"], tp["final_ln"], kernel,
+                                 embeds, cos, sin, batch.attention_mask, shifted)
         return loss / jnp.maximum(count, 1), (loss, count)
 
     import optax
