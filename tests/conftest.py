@@ -15,7 +15,18 @@ os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # XLA:CPU collectives FATALLY exit ("Termination timeout for all
+    # reduce ... Exiting to ensure a consistent program state", SIGABRT)
+    # when a rendezvous participant misses the default 40 s window — on
+    # this 1-throttled-vCPU host with 8 virtual devices a starved device
+    # thread regularly does under suite load. This was the round-3 "Fatal
+    # Python error: Aborted" in the mesh trainer tests. Give the
+    # rendezvous room instead of dying.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = _flags
 
 # XLA:CPU's default matmul runs reduced precision (oneDNN bf16-ish), which
 # breaks fp32 parity-vs-torch tests; force true fp32 accumulation in tests.
