@@ -244,3 +244,19 @@ def test_fused_lookahead_with_compaction(setup):
     n = spec_st.length
     hist = np.asarray(spec_st.hist[0, :n])
     assert hist.min() >= 0, "history shadow must be fully populated"
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_sampling_mode_runs(setup, fused):
+    """do_sample=True through both speculative drivers: valid tokens, state
+    consistent (distribution-level, not bit-parity — the spec paths use
+    per-position fold_in keys; see module docstring)."""
+    cfg, params, tok = setup
+    gen = gen_params(cfg, do_sample=True, temperature=0.9, top_k=20)
+    eng = LiveCCEngine(params, cfg, tok, cache_len=512,
+                       spec=SpecConfig(k_draft=3, fused=fused))
+    texts, st = run_stream(eng, gen, n_chunks=2)
+    assert len(texts) == 2
+    assert st.length > 0
+    # emitted ids recorded in past_ids are real vocab ids
+    assert all(0 <= t < cfg.text.vocab_size for t in st.past_ids)
