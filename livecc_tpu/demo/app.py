@@ -54,13 +54,15 @@ document.getElementById('qaf').onsubmit = async (e) => {
 
 
 class DemoServer:
-    def __init__(self, video_path: str, model_path: str | None, query: str):
+    def __init__(self, video_path: str, model_path: str | None, query: str,
+                 speculative: bool = False, quantize_weights: bool = False):
         from livecc_tpu.demo.cli import build_engine
         from livecc_tpu.engine.live import LiveCC
 
         self.video_path = video_path
         self.query = query
-        self.engine = build_engine(model_path)
+        self.engine = build_engine(model_path, speculative=speculative,
+                                   quantize_weights=quantize_weights)
         self.live = LiveCC(self.engine)
         self.session = self.live.open(video_path)
         self.lock = threading.Lock()
@@ -117,8 +119,14 @@ def main(argv=None):
     parser.add_argument("--model", default=None)
     parser.add_argument("--query", default="Please describe the video.")
     parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--speculative", action="store_true",
+                        help="fused on-device lookahead decoding")
+    parser.add_argument("--quantize-weights", action="store_true",
+                        help="weight-only int8 weights (ops/quant.py)")
     args = parser.parse_args(argv)
-    server = DemoServer(args.video, args.model, args.query)
+    server = DemoServer(args.video, args.model, args.query,
+                        speculative=args.speculative,
+                        quantize_weights=args.quantize_weights)
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(server))
     print(f"serving on http://localhost:{args.port}")
     httpd.serve_forever()
