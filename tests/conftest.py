@@ -25,7 +25,7 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
     # Python error: Aborted" in the mesh trainer tests. Give the
     # rendezvous room instead of dying.
     _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
 os.environ["XLA_FLAGS"] = _flags
 
 # XLA:CPU's default matmul runs reduced precision (oneDNN bf16-ish), which
