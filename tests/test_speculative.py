@@ -260,3 +260,29 @@ def test_sampling_mode_runs(setup, fused):
     assert st.length > 0
     # emitted ids recorded in past_ids are real vocab ids
     assert all(0 <= t < cfg.text.vocab_size for t in st.past_ids)
+
+
+def test_fused_lookahead_int8_kv_parity(setup):
+    """Lookahead over the QUANTIZED cache (the serving default on TPU):
+    identical texts to plain decode with the same int8 cache."""
+    import jax.numpy as jnp
+
+    cfg, params, tok = setup
+    gen = gen_params(cfg, max_new_tokens=5)
+    kw = dict(cache_len=512, cache_dtype=jnp.int8)
+    ref_texts, ref_st = run_stream(LiveCCEngine(params, cfg, tok, **kw), gen)
+    spec_texts, spec_st = run_stream(
+        LiveCCEngine(params, cfg, tok, spec=SpecConfig(k_draft=3), **kw), gen)
+    assert spec_texts == ref_texts
+    assert spec_st.length == ref_st.length
+    assert spec_st.last_token == ref_st.last_token
+
+
+def test_fused_lookahead_int8_weights_smoke(setup):
+    """Lookahead + weight-only int8: runs end to end, state consistent."""
+    cfg, params, tok = setup
+    gen = gen_params(cfg, max_new_tokens=4)
+    eng = LiveCCEngine(params, cfg, tok, cache_len=512,
+                       spec=SpecConfig(k_draft=3), quantize_weights=True)
+    texts, st = run_stream(eng, gen, n_chunks=2)
+    assert len(texts) == 2 and st.length > 0
