@@ -6,10 +6,14 @@ track them with batched IoU matching, window 150 frames every 750, score
 face tubes + audio MFCCs with a small ASD net, and keep clips whose
 talking-head ratio is <= 0.05 (debug.py:44-55).
 
-The neural pieces (face detector, ASD scorer) are pluggable callables —
-the reference's ONNX/torch models are external deps; everything structural
-(IoU tracking face_tracker.py:10-41, windowing main.py:33-38, ratio
-aggregation) is implemented and tested here in numpy.
+The neural pieces are pluggable callables: the face detector is
+tools/scrfd.py (JAX FPN, or real buffalo_sc ONNX weights via
+scrfd.load_onnx_detector) and the ASD scorer is tools/lightasd.py — a
+weight-compatible JAX port of the reference net whose
+``load_torch_checkpoint`` loads the shipped finetuning_TalkSet.model
+directly (score parity tested in tests/test_lightasd_parity.py).
+Everything structural (IoU tracking face_tracker.py:10-41, windowing
+main.py:33-38, ratio aggregation) is implemented and tested here in numpy.
 """
 
 from __future__ import annotations
