@@ -24,6 +24,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <unordered_map>
@@ -308,6 +309,15 @@ int vr_get_batch(int64_t handle, const int64_t* indices, int64_t n,
   if (out_h <= 0) out_h = r->codec->height;
   if (out_w <= 0) out_w = r->codec->width;
   const size_t frame_bytes = (size_t)out_h * out_w * 3;
+  // libswscale's SIMD paths may write a full aligned chunk at the end of
+  // each row: scaling directly into the caller's tightly-packed numpy
+  // buffer with stride out_w*3 corrupts the heap ("corrupted size vs.
+  // prev_size"). Scale into an aligned padded scratch row block, then
+  // copy packed rows out.
+  const int pad_stride = (out_w * 3 + 63) & ~63;
+  std::unique_ptr<uint8_t, decltype(&av_free)> scratch(
+      static_cast<uint8_t*>(av_malloc((size_t)pad_stride * out_h + 64)), av_free);
+  if (!scratch) { set_error("scratch alloc failed"); return -1; }
 
   int64_t last_idx = INT64_MIN;
   for (int64_t i = 0; i < n; ++i) {
@@ -344,10 +354,13 @@ int vr_get_batch(int64_t handle, const int64_t* indices, int64_t n,
       r->sws_h = out_h;
       if (!r->sws) { set_error("sws_getContext failed"); return -1; }
     }
-    uint8_t* dst[1] = {out + i * frame_bytes};
-    int dst_stride[1] = {out_w * 3};
+    uint8_t* dst[1] = {scratch.get()};
+    int dst_stride[1] = {pad_stride};
     sws_scale(r->sws, r->frame->data, r->frame->linesize, 0, r->codec->height,
               dst, dst_stride);
+    for (int y = 0; y < out_h; ++y)
+      std::memcpy(out + i * frame_bytes + (size_t)y * out_w * 3,
+                  scratch.get() + (size_t)y * pad_stride, (size_t)out_w * 3);
     last_idx = idx;
   }
   return 0;
@@ -543,9 +556,20 @@ int vr_encode_test_video(const char* path, const uint8_t* frames, int64_t n,
     }
   };
 
+  // sws_scale SIMD reads can overrun a tightly-packed source row; stage
+  // each input frame in an aligned padded buffer (mirror of the decode-side
+  // scratch fix in vr_get_batch).
+  const int in_stride = (w * 3 + 63) & ~63;
+  std::unique_ptr<uint8_t, decltype(&av_free)> in_buf(
+      static_cast<uint8_t*>(av_malloc((size_t)in_stride * h + 64)), av_free);
+  if (!in_buf) { set_error("scratch alloc failed"); return -1; }
   for (int64_t i = 0; i < n; ++i) {
-    const uint8_t* src[1] = {frames + (size_t)i * h * w * 3};
-    int src_stride[1] = {w * 3};
+    for (int y = 0; y < h; ++y)
+      std::memcpy(in_buf.get() + (size_t)y * in_stride,
+                  frames + (size_t)i * h * w * 3 + (size_t)y * w * 3,
+                  (size_t)w * 3);
+    const uint8_t* src[1] = {in_buf.get()};
+    int src_stride[1] = {in_stride};
     av_frame_make_writable(fr);
     sws_scale(sws, src, src_stride, 0, h, fr->data, fr->linesize);
     fr->pts = i;
