@@ -123,13 +123,18 @@ def load_safetensors_dir(path: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> Par
 
 
 def config_from_hf_json(path: str) -> ModelConfig:
-    """Build a ModelConfig from an HF config.json (checkpoint directory)."""
+    """Build a ModelConfig from an HF config.json (checkpoint directory).
+
+    Handles both layouts: hub-era Qwen2-VL / LiveCC checkpoints keep text
+    fields at the top level; transformers>=4.52 saves them nested under
+    ``text_config``."""
     from livecc_tpu.core.config import TextConfig, VisionConfig
 
     with open(os.path.join(path, "config.json")) as f:
-        hf = json.load(f)
-    v = hf.get("vision_config", {})
-    rope_scaling = hf.get("rope_scaling") or {}
+        full = json.load(f)
+    hf = full.get("text_config", full)
+    v = full.get("vision_config", {})
+    rope_scaling = hf.get("rope_scaling") or full.get("rope_scaling") or {}
     return ModelConfig(
         vision=VisionConfig(
             depth=v.get("depth", 32),
@@ -155,11 +160,13 @@ def config_from_hf_json(path: str) -> ModelConfig:
             max_position_embeddings=hf.get("max_position_embeddings", 32768),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
         ),
-        bos_token_id=hf.get("bos_token_id", 151643),
-        eos_token_id=hf.get("eos_token_id", 151645),
-        vision_start_token_id=hf.get("vision_start_token_id", 151652),
-        vision_end_token_id=hf.get("vision_end_token_id", 151653),
-        image_token_id=hf.get("image_token_id", 151655),
-        video_token_id=hf.get("video_token_id", 151656),
+        bos_token_id=full.get("bos_token_id", hf.get("bos_token_id", 151643)),
+        eos_token_id=full.get("eos_token_id", hf.get("eos_token_id", 151645)),
+        vision_start_token_id=full.get("vision_start_token_id",
+                                       hf.get("vision_start_token_id", 151652)),
+        vision_end_token_id=full.get("vision_end_token_id",
+                                     hf.get("vision_end_token_id", 151653)),
+        image_token_id=full.get("image_token_id", hf.get("image_token_id", 151655)),
+        video_token_id=full.get("video_token_id", hf.get("video_token_id", 151656)),
         name=os.path.basename(os.path.normpath(path)),
     )

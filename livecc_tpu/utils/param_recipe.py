@@ -1,0 +1,61 @@
+"""Deterministic parameter recipe for width-realistic parity goldens.
+
+Mid-size parity goldens (VERDICT r3 #2) need a model at REAL Qwen2-VL-7B
+width — head_dim 128, GQA 28q/4kv, vocab 152064, hidden 3584 — where the
+weights alone are ~2 GB: far too large to commit. Instead both sides derive
+every tensor from the same pure-numpy recipe keyed by the HF parameter NAME,
+so the torch golden generator (tools/gen_hf_goldens.py, run offline once)
+and the torch-free JAX test (tests/test_model_parity.py) materialize
+bit-identical weights independently; only the torch OUTPUTS are committed.
+
+The recipe mirrors sane transformer init so depth-4 activations stay
+bounded: normals scaled 0.02 for projection/embedding weights, norm weights
+at 1 + 0.02*noise (exercising the scale path), small-noise biases.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+
+def _seed(name: str) -> int:
+    return zlib.crc32(name.encode()) & 0x7FFFFFFF
+
+
+def recipe_tensor(name: str, shape: tuple[int, ...]) -> np.ndarray:
+    """The committed recipe: HF param name + shape -> fp32 tensor."""
+    rng = np.random.RandomState(_seed(name))
+    base = name.rsplit(".", 1)[-1]
+    lname = name.lower()
+    if "norm" in lname and base == "weight":
+        return (1.0 + 0.02 * rng.standard_normal(shape)).astype(np.float32)
+    if base == "bias":
+        return (0.02 * rng.standard_normal(shape)).astype(np.float32)
+    return (0.02 * rng.standard_normal(shape)).astype(np.float32)
+
+
+def state_dict_from_manifest(manifest: dict[str, tuple[int, ...]]) -> dict[str, np.ndarray]:
+    """Materialize a full HF-layout state dict from {name: shape}."""
+    return {name: recipe_tensor(name, tuple(shape)) for name, shape in manifest.items()}
+
+
+# Depth-reduced Qwen2-VL-7B width (Qwen/Qwen2-VL-7B-Instruct config.json values
+# except num_hidden_layers / vision depth): the realistic-width parity config.
+MIDSIZE_TEXT = dict(
+    vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+    num_hidden_layers=4, num_attention_heads=28, num_key_value_heads=4,
+    rms_norm_eps=1e-6, rope_theta=1e6, max_position_embeddings=32768,
+    tie_word_embeddings=False,
+    rope_scaling={"type": "mrope", "mrope_section": [16, 24, 24]},
+    bos_token_id=151643, eos_token_id=151645, pad_token_id=151643,
+)
+MIDSIZE_VISION = dict(
+    depth=4, embed_dim=1280, num_heads=16, hidden_size=3584, patch_size=14,
+    temporal_patch_size=2, spatial_merge_size=2, in_channels=3,
+)
+MIDSIZE_TOKEN_IDS = dict(
+    image_token_id=151655, video_token_id=151656,
+    vision_start_token_id=151652, vision_end_token_id=151653,
+)
