@@ -4,9 +4,11 @@ Re-reads a demo result JSON ({video_path, query, commentaries}) and re-encodes
 the video with query/response chat bubbles drawn on each frame (reference
 demo/render/bubble.py rounded-rect blurred bubbles, video.py compositing).
 TTS is a pluggable callable (the reference hard-wires Kokoro, unavailable
-offline): ``tts(text) -> (samples, sample_rate)``; when provided, a sidecar
-WAV is written (muxing audio is left to downstream tooling — no audio
-encoder is shipped in this image's FFmpeg build contract we rely on).
+offline): ``tts(text) -> (samples, sample_rate)``; when provided, each
+commentary's clip is placed at its start time on a silence timeline and the
+track is MUXED into the output mp4 as an AAC stream by the native layer
+(vision_io/native vr_encode_video_with_audio — reference
+demo/render/video.py:186-200 overlay semantics).
 """
 
 from __future__ import annotations
@@ -17,7 +19,8 @@ from typing import Callable, Optional
 import numpy as np
 from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
-from livecc_tpu.vision_io.video_reader import VideoReader, encode_test_video
+from livecc_tpu.vision_io.video_reader import (VideoReader, encode_test_video,
+                                               encode_video_with_audio)
 
 
 def _font(size: int):
@@ -91,8 +94,8 @@ def render_commentary_video(
 
     ``tts``: "default" uses the built-in formant synthesizer
     (audio/tts.py — the offline stand-in for the reference's Kokoro,
-    video.py:37-49); a callable substitutes any engine; None disables the
-    sidecar WAV.
+    video.py:37-49); a callable substitutes any engine; None renders a
+    video-only mp4 (no audio track).
     """
     if tts == "default":
         from livecc_tpu.audio.tts import synthesize as tts
@@ -116,27 +119,28 @@ def render_commentary_video(
         if active:
             frame = draw_bubble(frame, active[-1][2], anchor="bottom")
         out_frames.append(np.asarray(frame, np.uint8))
-    encode_test_video(output_path, np.stack(out_frames), fps=fps)
 
-    if tts is not None:
-        audio = []
-        rate = 24000
-        for _, _, text in commentaries:
+    track = None
+    if tts is not None and commentaries:
+        # Place each commentary's TTS clip at its start time on a silence
+        # timeline covering the rendered span, then mux video+AAC into ONE
+        # mp4 (reference demo/render/video.py:186-200 overlay semantics).
+        clips, rate = [], 16000
+        for t0, _, text in commentaries:
             samples, rate = tts(text)
-            audio.append(np.asarray(samples, np.float32))
-        if audio:
-            wav = np.concatenate(audio)
-            _write_wav(output_path + ".wav", wav, rate)
+            clips.append((float(t0), np.asarray(samples, np.float32)))
+        span = len(out_frames) / fps
+        track = np.zeros(int(round(span * rate)) + rate // 10, np.float32)
+        for t0, samples in clips:
+            lo = int(round(t0 * rate))
+            hi = min(lo + len(samples), len(track))
+            if lo < len(track):
+                track[lo:hi] += samples[: hi - lo]
+        peak = np.max(np.abs(track))
+        if peak > 1.0:
+            track *= 0.95 / peak
+    if track is not None:
+        encode_video_with_audio(output_path, np.stack(out_frames), fps, track, rate)
+    else:
+        encode_test_video(output_path, np.stack(out_frames), fps=fps)
     return output_path
-
-
-def _write_wav(path: str, samples: np.ndarray, rate: int) -> None:
-    import wave
-
-    pcm = np.clip(samples, -1.0, 1.0)
-    pcm16 = (pcm * 32767).astype("<i2")
-    with wave.open(path, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes(pcm16.tobytes())

@@ -654,4 +654,181 @@ int vr_encode_test_audio(const char* path, const float* samples, int64_t n,
   return 0;
 }
 
+// --- muxed render output (reference demo/render/video.py:186-200) -----------
+// One mp4 with BOTH streams: mpeg4 video from RGB frames + AAC audio from
+// mono float PCM (the TTS track). Streams are interleaved by timestamp so
+// libavformat never has to buffer a whole stream. Input samples are
+// converted (and resampled when the input rate isn't AAC-representable)
+// with libswresample.
+int vr_encode_video_with_audio(const char* path, const uint8_t* frames,
+                               int64_t n, int h, int w, int fps,
+                               const float* samples, int64_t n_samples,
+                               int sample_rate) {
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (!fmt) { set_error("alloc output"); return -1; }
+  const AVCodec* venc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  const AVCodec* aenc = avcodec_find_encoder(AV_CODEC_ID_AAC);
+  if (!venc || !aenc) { set_error("mpeg4/aac encoder missing"); return -1; }
+
+  AVStream* vst = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* vc = avcodec_alloc_context3(venc);
+  vc->width = w;
+  vc->height = h;
+  vc->pix_fmt = AV_PIX_FMT_YUV420P;
+  vc->time_base = {1, fps};
+  vc->framerate = {fps, 1};
+  vc->gop_size = 12;
+  vc->bit_rate = 2'000'000;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    vc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(vc, venc, nullptr) < 0) { set_error("video encoder open"); return -1; }
+  avcodec_parameters_from_context(vst->codecpar, vc);
+  vst->time_base = vc->time_base;
+
+  // pick an AAC-supported rate (pass-through when possible, else nearest)
+  int out_rate = sample_rate;
+  if (aenc->supported_samplerates) {
+    int best = aenc->supported_samplerates[0];
+    bool exact = false;
+    for (const int* r = aenc->supported_samplerates; *r; ++r) {
+      if (*r == sample_rate) { exact = true; break; }
+      if (std::abs(*r - sample_rate) < std::abs(best - sample_rate)) best = *r;
+    }
+    out_rate = exact ? sample_rate : best;
+  }
+  AVStream* ast = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* ac = avcodec_alloc_context3(aenc);
+  ac->sample_rate = out_rate;
+  ac->sample_fmt = AV_SAMPLE_FMT_FLTP;
+  av_channel_layout_default(&ac->ch_layout, 1);
+  ac->bit_rate = 96'000;
+  ac->time_base = {1, out_rate};
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    ac->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(ac, aenc, nullptr) < 0) { set_error("aac encoder open"); return -1; }
+  avcodec_parameters_from_context(ast->codecpar, ac);
+  ast->time_base = ac->time_base;
+
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    set_error("avio_open");
+    return -1;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) { set_error("write header"); return -1; }
+
+  // resample/convert the whole (short) TTS track to FLTP at out_rate
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono;
+  av_channel_layout_default(&mono, 1);
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLTP, out_rate, &mono,
+                          AV_SAMPLE_FMT_FLT, sample_rate, 0, nullptr) < 0 ||
+      swr_init(swr) < 0) {
+    set_error("swr init");
+    return -1;
+  }
+  int64_t max_out = av_rescale_rnd(n_samples + 4096, out_rate, sample_rate, AV_ROUND_UP);
+  std::vector<float> audio((size_t)max_out, 0.f);
+  uint8_t* out_planes[1] = {reinterpret_cast<uint8_t*>(audio.data())};
+  const uint8_t* in_planes[1] = {reinterpret_cast<const uint8_t*>(samples)};
+  int got = swr_convert(swr, out_planes, (int)max_out, in_planes, (int)n_samples);
+  if (got >= 0) {
+    uint8_t* tail[1] = {reinterpret_cast<uint8_t*>(audio.data() + got)};
+    int extra = swr_convert(swr, tail, (int)(max_out - got), nullptr, 0);
+    if (extra > 0) got += extra;
+  }
+  swr_free(&swr);
+  if (got < 0) { set_error("swr convert"); return -1; }
+  int64_t n_audio = got;
+
+  AVPacket* pkt = av_packet_alloc();
+  auto drain = [&](AVCodecContext* c, AVStream* st, int64_t dur) -> int {
+    while (true) {
+      int ret = avcodec_receive_packet(c, pkt);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+      if (ret < 0) return -1;
+      if (pkt->duration == 0) pkt->duration = dur;  // mov muxer needs the
+      // last sample's duration; a 0 makes the final video frame vanish
+      av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+
+  SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
+                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                                   nullptr, nullptr);
+  AVFrame* vf = av_frame_alloc();
+  vf->format = AV_PIX_FMT_YUV420P;
+  vf->width = w;
+  vf->height = h;
+  av_frame_get_buffer(vf, 0);
+  AVFrame* af = av_frame_alloc();
+  const int in_stride = (w * 3 + 63) & ~63;
+  std::unique_ptr<uint8_t, decltype(&av_free)> in_buf(
+      static_cast<uint8_t*>(av_malloc((size_t)in_stride * h + 64)), av_free);
+  if (!in_buf) { set_error("scratch alloc failed"); return -1; }
+
+  const int afsz = ac->frame_size > 0 ? ac->frame_size : 1024;
+  int64_t vi = 0, apos = 0;
+  bool v_done = false, a_done = false;
+  while (!v_done || !a_done) {
+    double vt = v_done ? 1e30 : (double)vi / fps;
+    double at = a_done ? 1e30 : (double)apos / out_rate;
+    if (vt <= at) {
+      if (vi < n) {
+        for (int y = 0; y < h; ++y)
+          std::memcpy(in_buf.get() + (size_t)y * in_stride,
+                      frames + (size_t)vi * h * w * 3 + (size_t)y * w * 3,
+                      (size_t)w * 3);
+        const uint8_t* src[1] = {in_buf.get()};
+        int src_stride[1] = {in_stride};
+        av_frame_make_writable(vf);
+        sws_scale(sws, src, src_stride, 0, h, vf->data, vf->linesize);
+        vf->pts = vi++;
+        if (avcodec_send_frame(vc, vf) < 0 || drain(vc, vst, 1) < 0) {
+          set_error("video encode");
+          return -1;
+        }
+      } else {
+        avcodec_send_frame(vc, nullptr);
+        if (drain(vc, vst, 1) < 0) { set_error("video flush"); return -1; }
+        v_done = true;
+      }
+    } else {
+      if (apos < n_audio) {
+        int cnt = (int)std::min<int64_t>(afsz, n_audio - apos);
+        af->nb_samples = afsz;  // full frame; pad the tail with silence
+        af->format = AV_SAMPLE_FMT_FLTP;
+        av_channel_layout_default(&af->ch_layout, 1);
+        af->sample_rate = out_rate;
+        av_frame_get_buffer(af, 0);
+        float* dst = reinterpret_cast<float*>(af->data[0]);
+        std::memcpy(dst, audio.data() + apos, (size_t)cnt * sizeof(float));
+        if (cnt < afsz) std::memset(dst + cnt, 0, (size_t)(afsz - cnt) * sizeof(float));
+        af->pts = apos;
+        apos += cnt;
+        int rc = avcodec_send_frame(ac, af);
+        av_frame_unref(af);
+        if (rc < 0 || drain(ac, ast, afsz) < 0) { set_error("audio encode"); return -1; }
+      } else {
+        avcodec_send_frame(ac, nullptr);
+        if (drain(ac, ast, afsz) < 0) { set_error("audio flush"); return -1; }
+        a_done = true;
+      }
+    }
+  }
+  av_write_trailer(fmt);
+  sws_freeContext(sws);
+  av_frame_free(&vf);
+  av_frame_free(&af);
+  av_packet_free(&pkt);
+  avcodec_free_context(&vc);
+  avcodec_free_context(&ac);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
 }  // extern "C"

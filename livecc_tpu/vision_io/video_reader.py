@@ -69,6 +69,12 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
         ]
         lib.vr_encode_test_audio.restype = ctypes.c_int
+        lib.vr_encode_video_with_audio.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.vr_encode_video_with_audio.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -187,6 +193,26 @@ def encode_test_audio(path: str, samples: np.ndarray, sample_rate: int = 16000) 
     )
     if rc != 0:
         raise IOError(f"audio encode failed: {lib.vr_last_error().decode()}")
+
+
+def encode_video_with_audio(path: str, frames: np.ndarray, fps: int,
+                            samples: np.ndarray, sample_rate: int) -> None:
+    """One mp4 with an mpeg4 video track AND an AAC audio track — the
+    render pipeline's muxed output (reference demo/render/video.py:186-200
+    overlays the TTS track into the final mp4). ``samples`` is mono float32
+    PCM; rates outside AAC's set are resampled in the native layer."""
+    lib = _load()
+    frames = np.ascontiguousarray(frames, np.uint8)
+    samples = np.ascontiguousarray(samples, np.float32)
+    t, h, w, c = frames.shape
+    assert c == 3
+    rc = lib.vr_encode_video_with_audio(
+        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t, h, w, fps, samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(samples), sample_rate,
+    )
+    if rc != 0:
+        raise IOError(f"mux encode failed: {lib.vr_last_error().decode()}")
 
 
 def encode_test_video(path: str, frames: np.ndarray, fps: int = 30) -> None:

@@ -34,11 +34,21 @@ def test_render_commentary_video(video, tmp_path):
     rj = tmp_path / "result.json"
     rj.write_text(json.dumps(result))
     out = str(tmp_path / "rendered.mp4")
-    fake_tts = lambda text: (np.zeros(2400, np.float32), 24000)
+    # 0.5 s 440 Hz tone per commentary -> muxed AAC track, clip at t=3.0 s
+    tone = (0.4 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)).astype(np.float32)
+    fake_tts = lambda text: (tone, 16000)
     render_commentary_video(str(rj), out, fps=5, max_seconds=4.0, tts=fake_tts)
     r = vr.VideoReader(out)
     assert len(r) == 21  # 4 s at 5 fps + frame at t=0
-    assert os.path.exists(out + ".wav")
+    # audio is MUXED into the mp4 (reference render/video.py:186-200), not a
+    # sidecar: decode it back and find the tone at the commentary timestamps
+    track = vr.load_audio(out, 16000)
+    assert len(track) >= 4 * 16000
+    seg = track[3 * 16000 : 3 * 16000 + 8000]          # clip placed at t=3.0
+    freq = np.fft.rfftfreq(len(seg), 1 / 16000)[np.abs(np.fft.rfft(seg)).argmax()]
+    assert abs(freq - 440.0) < 5, freq
+    silent = track[2 * 16000 : int(2.9 * 16000)]        # between clips: silence
+    assert np.abs(silent).max() < 0.02
     # bubbles visibly changed pixels vs the source
     src = vr.VideoReader(video).get_batch([0], out_hw=(96, 128))[0]
     ren = r.get_batch([0])[0]
