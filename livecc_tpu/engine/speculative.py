@@ -84,6 +84,56 @@ class SpecConfig:
     k_draft: int = 8          # drafted tokens per verify window
     max_ngram: int = 3        # longest suffix n-gram tried by the lookup
     fused: bool = True
+    # Host-side adaptive controller (SpecController below, shared by the
+    # solo engine and the serving pool):
+    # lookahead pays a fixed window premium per dispatch (a W=K+1 verify
+    # forward costs ~cost_ratio of a 1-token decode step, measured in
+    # PERF.md "Lookahead decoding"); when the pool's realized
+    # tokens-per-window EMA falls below that ratio, lookahead LOSES and the
+    # tick switches to plain fused decode, re-probing every probe_every
+    # ticks so regime shifts (repetitive commentary) re-enable it.
+    adaptive: bool = True
+    cost_ratio: float = 1.45
+    ema: float = 0.3          # EMA smoothing for accepted tokens/window
+    probe_every: int = 16
+
+
+class SpecController:
+    """Adaptive lookahead switch (host-side, zero extra device syncs).
+
+    A verify window (W = k_draft+1 tokens/row) costs ~``cost_ratio`` of a
+    1-token decode step (PERF.md "Lookahead decoding": 8.4 ms vs 6.3 ms at
+    2B), so lookahead only wins while the pool-wide ACCEPTED tokens per
+    window exceeds that ratio. At B=8 with uncorrelated streams the r3
+    measurements showed a 14-21% loss — this controller makes that case
+    self-disable: it EMA-tracks tokens/window from each collected dispatch
+    (the stats ride the existing async collection; no added round-trips),
+    switches the tick to plain fused decode below the threshold, and
+    re-probes one dispatch in every ``probe_every`` so a regime shift back
+    to repetitive commentary re-enables lookahead."""
+
+    def __init__(self, spec):
+        self.spec = spec
+        self.ema: float | None = None
+        self._dispatch_n = 0
+        self.enabled = True
+
+    def use_spec(self) -> bool:
+        if self.spec is None:
+            return False
+        if not self.spec.adaptive or self.enabled:
+            return True
+        self._dispatch_n += 1
+        return self._dispatch_n % self.spec.probe_every == 0
+
+    def observe(self, tokens_total: int, n_rows: int, n_iters: int) -> None:
+        """Feed one spec dispatch's realized acceptance (from _collect)."""
+        if self.spec is None or not self.spec.adaptive or n_rows == 0 or n_iters <= 0:
+            return
+        tpw = tokens_total / (n_rows * n_iters)
+        a = self.spec.ema
+        self.ema = tpw if self.ema is None else (1 - a) * self.ema + a * tpw
+        self.enabled = self.ema >= self.spec.cost_ratio
 
 
 def _accept_scan(gen: GenerationParams, k_draft: int, srcs: jnp.ndarray,
@@ -223,7 +273,7 @@ def decode_chunk_lookahead(
     rng: jax.Array,
     use_flash: bool = False,
     active: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray, KVCache, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused lookahead decode: the whole chunk in ONE dispatch.
 
     Each ``while_loop`` iteration drafts K tokens by n-gram lookup over the
@@ -233,7 +283,12 @@ def decode_chunk_lookahead(
     ``decode_chunk`` for greedy decoding; cost per iteration ≈ one decode
     step, tokens per iteration = 1 + acceptance.
 
-    Returns ``(tokens [B, max_new], n_generated [B], cache, hist, counts)``.
+    Returns ``(tokens [B, max_new], n_generated [B], cache, hist, counts,
+    n_iters)`` — ``n_iters`` (scalar int32) counts verify-window forwards,
+    the observable the host-side adaptive controller (SpecController,
+    this module) uses to measure realized
+    tokens-per-dispatch and self-disable lookahead when a pool's
+    correlated acceptance can't pay the window premium.
     """
     b = logits0.shape[0]
     k, m = spec.k_draft, spec.max_ngram
@@ -260,11 +315,11 @@ def decode_chunk_lookahead(
     n_emit = emit0
 
     def cond(carry):
-        cache, hist, counts, pending, stopped, n_emit, key, buf = carry
+        cache, hist, counts, pending, stopped, n_emit, key, buf, n_iters = carry
         return jnp.any(~stopped & (n_emit < max_new))
 
     def body(carry):
-        cache, hist, counts, pending, stopped, n_emit, key, buf = carry
+        cache, hist, counts, pending, stopped, n_emit, key, buf, n_iters = carry
         off = cache.offset
         # pending sits at position `off` (not yet forwarded) so the n-gram
         # pattern includes it — same context the host drafter sees.
@@ -320,12 +375,14 @@ def decode_chunk_lookahead(
         pending = jnp.where(
             emitted > 0, tokens_out[rows, jnp.clip(emitted - 1, 0, k)], pending)
         n_emit = n_emit + emitted
-        return (cache, hist, counts, pending, stopped, n_emit, key, buf)
+        return (cache, hist, counts, pending, stopped, n_emit, key, buf, n_iters + 1)
 
+    n_iters = jnp.int32(0)
     if max_new > 1:
-        (cache, hist, counts, pending, stopped, n_emit, rng, buf) = lax.while_loop(
-            cond, body, (cache, hist, counts, pending, stopped, n_emit, rng, buf))
-    return buf, n_emit, cache, hist, counts
+        (cache, hist, counts, pending, stopped, n_emit, rng, buf, n_iters) = lax.while_loop(
+            cond, body,
+            (cache, hist, counts, pending, stopped, n_emit, rng, buf, n_iters))
+    return buf, n_emit, cache, hist, counts, n_iters
 
 
 class NGramDraftSource:

@@ -124,6 +124,11 @@ class LiveCCEngine:
         # the same way).
         self.spec = spec
         self.spec_draft_source = None
+        # adaptive lookahead controller (engine/speculative.py:
+        # SpecController, shared with the serving pool): disables the fused
+        # lookahead when realized tokens/window can't pay the verify-window
+        # premium, re-probing periodically
+        self._spec_ctl = None
         self.sys_offset = chat.system_prompt_offset()
         # ' ...' continuation marker token (reference demo/infer.py:49)
         ids = tokenizer.encode(" ...")
@@ -134,6 +139,13 @@ class LiveCCEngine:
         self.metrics = LatencyTracker()
         # Pallas flash attention on TPU; XLA reference path elsewhere.
         self.use_flash = (jax.default_backend() == "tpu") if use_flash is None else use_flash
+
+    def _spec_on(self) -> bool:
+        """Adaptive-lookahead gate for this chunk (True = run lookahead)."""
+        if self._spec_ctl is None:
+            from livecc_tpu.engine.speculative import SpecController
+            self._spec_ctl = SpecController(self.spec)
+        return self._spec_ctl.use_spec()
 
     # ------------------------------------------------------------------
     # state management
@@ -336,14 +348,28 @@ class LiveCCEngine:
             counts=state.counts, remove_token=jnp.int32(state.last_token),
             use_flash=self.use_flash,
         )
-        if self.spec is not None and self.spec.fused:
+        if self.spec is not None and self.spec.fused and self._spec_on():
             from livecc_tpu.engine.speculative import decode_chunk_lookahead
 
             self._rng, sub = jax.random.split(self._rng)
-            tokens, n_gen, state.cache, state.hist, state.counts = decode_chunk_lookahead(
+            (tokens, n_gen, state.cache, state.hist, state.counts,
+             n_iters) = decode_chunk_lookahead(
                 self.params, self.cfg, gen, self.spec,
                 jnp.asarray(ids), jnp.asarray([n_new], jnp.int32), logits0,
                 state.cache, state.hist, state.counts,
+                jnp.asarray([[state.rope_delta]], jnp.int32), sub,
+                use_flash=self.use_flash,
+            )
+            n = int(n_gen[0])
+            generated = np.asarray(tokens)[0, :n].tolist()
+            self._spec_ctl.observe(n, 1, int(n_iters))
+        elif self.spec is not None and self.spec.fused:
+            # adaptive controller has lookahead disabled: plain fused decode
+            # (state.hist goes stale here; it only degrades DRAFT quality on
+            # the next probe — outputs stay exact by acceptance)
+            self._rng, sub = jax.random.split(self._rng)
+            tokens, n_gen, state.cache, state.counts = decode_chunk(
+                self.params, self.cfg, gen, logits0, state.cache, state.counts,
                 jnp.asarray([[state.rope_delta]], jnp.int32), sub,
                 use_flash=self.use_flash,
             )

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.data import chat
 from livecc_tpu.engine.generation import GenerationParams, decode_chunk, prefill
+from livecc_tpu.engine.speculative import SpecController
 from livecc_tpu.engine.streaming import LiveCCEngine, StreamState, _bucket
 from livecc_tpu.models.qwen2_vl.model import VisionInputs
 from livecc_tpu.models.qwen2_vl.text import KVCache
@@ -90,7 +91,7 @@ def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool,
         if spec is not None:
             from livecc_tpu.engine.speculative import decode_chunk_lookahead
 
-            tokens, n_gen, cache, hist, counts = decode_chunk_lookahead(
+            tokens, n_gen, cache, hist, counts, n_iters = decode_chunk_lookahead(
                 params, cfg, gen, spec, ids, valid, logits0, cache, hist,
                 counts, deltas[:, None], rng, use_flash=use_flash, active=active,
             )
@@ -99,13 +100,14 @@ def make_pool_step(cfg: ModelConfig, gen: GenerationParams, use_flash: bool,
                 params, cfg, gen, logits0, cache, counts, deltas[:, None], rng,
                 use_flash=use_flash, active=active,
             )
+            n_iters = jnp.int32(0)
         new_last = jnp.where(
             n_gen > 0,
             tokens[jnp.arange(b), jnp.maximum(n_gen - 1, 0)],
             -1,
         ).astype(jnp.int32)
         last_tokens = jnp.where(active, new_last, last_tokens)
-        return tokens, n_gen, cache, counts, last_tokens, hist
+        return tokens, n_gen, cache, counts, last_tokens, hist, n_iters
 
     return run
 
@@ -198,8 +200,10 @@ class StreamServer:
         self.compact_sink_cap = compact_sink_cap
         self._streams: dict[int, Stream] = {}
         self._next_sid = 0
-        self._step = None
-        self._inflight: list[tuple] = []   # (tokens_dev, n_gen_dev, slot_map, dispatch_ts)
+        self._steps: dict = {}             # use_spec -> compiled pool step
+        self._spec_ctl: Optional[SpecController] = None
+        # (tokens_dev, n_gen_dev, slot_map, dispatch_ts, n_iters_dev, used_spec)
+        self._inflight: list[tuple] = []
         self._lock = threading.Lock()
         self._collector: Optional[threading.Thread] = None
         # pool device state (lazy)
@@ -213,6 +217,21 @@ class StreamServer:
         """The engine's fused SpecConfig, or None (lookahead off)."""
         sp = getattr(self.engine, "spec", None)
         return sp if (sp is not None and sp.fused) else None
+
+    def _ctl(self) -> "SpecController":
+        if self._spec_ctl is None:
+            self._spec_ctl = SpecController(self._spec())
+        return self._spec_ctl
+
+    def _get_step(self, use_spec: bool):
+        """Compiled pool step for the requested decode mode (cached)."""
+        key = bool(use_spec and self._spec() is not None)
+        step = self._steps.get(key)
+        if step is None:
+            step = make_pool_step(self.engine.cfg, self.gen, self.engine.use_flash,
+                                  spec=self._spec() if key else None)
+            self._steps[key] = step
+        return step
 
     # -- stream lifecycle -------------------------------------------------
 
@@ -438,9 +457,6 @@ class StreamServer:
         engine = self.engine
         cfgv = engine.cfg.vision
         adopt_scratch = self.pool_caches is None   # scratch becomes the pool
-        if self._step is None:
-            self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash,
-                                        spec=self._spec())
         c = self.capacity
         scratch_cache = KVCache.zeros(engine.cfg.text, c, engine.cache_len,
                                       engine.cache_dtype)
@@ -488,21 +504,31 @@ class StreamServer:
             ids = np.zeros((c, bucket), np.int32)
             valid = np.full((c,), n_ids, np.int32)
             active = np.ones((c,), bool)
-            engine._rng, sub = jax.random.split(engine._rng)
-            out = self._step(
-                engine.params, jnp.asarray(ids), jnp.asarray(valid),
-                scratch_cache, patches, vis0.cos, vis0.sin, vis0.seg_ids,
-                scratch_counts, scratch_last, jnp.zeros((c,), jnp.int32),
-                jnp.asarray(active), sub, hist=scratch_hist, group=vis0.group,
-            )
-            # the step donates the scratch state; carry the returned buffers
-            (tokens_out, _, scratch_cache, scratch_counts, scratch_last,
-             scratch_hist) = out
-            # force completion on a REAL step output — materializing an
-            # unrelated array can return before the step finishes through
-            # the relay (CLAUDE.md), deferring the warmup compile/execution
-            # (and any OOM) to the first live tick
-            np.asarray(tokens_out)
+            # warm the spec step and, when the adaptive controller can
+            # switch mid-serve, the plain step too (a mid-serve compile
+            # spike would defeat the point of disabling lookahead)
+            modes = [True]
+            sp = self._spec()
+            if sp is not None and sp.adaptive:
+                modes.append(False)
+            for use_spec in modes:
+                engine._rng, sub = jax.random.split(engine._rng)
+                out = self._get_step(use_spec)(
+                    engine.params, jnp.asarray(ids), jnp.asarray(valid),
+                    scratch_cache, patches, vis0.cos, vis0.sin, vis0.seg_ids,
+                    scratch_counts, scratch_last, jnp.zeros((c,), jnp.int32),
+                    jnp.asarray(active), sub, hist=scratch_hist, group=vis0.group,
+                )
+                # the step donates the scratch state; carry the returned buffers
+                (tokens_out, _, scratch_cache, scratch_counts, scratch_last,
+                 scratch_hist, _) = out
+                # force completion on a REAL step output — materializing an
+                # unrelated array can return before the step finishes through
+                # the relay (CLAUDE.md), deferring the warmup compile/execution
+                # (and any OOM) to the first live tick
+                np.asarray(tokens_out)
+                scratch_cache = dataclasses.replace(
+                    scratch_cache, offset=jnp.zeros((c,), jnp.int32))
             # reset per-resolution so each warmup sees a fresh-depth pool
             scratch_cache = dataclasses.replace(
                 scratch_cache, offset=jnp.zeros((c,), jnp.int32)
@@ -586,10 +612,18 @@ class StreamServer:
         soon as the device finishes; callable from the main thread too)."""
         with self._lock:
             inflight, self._inflight = self._inflight, []
-        for tokens_dev, n_gen_dev, slot_map, dispatched in inflight:
+        for tokens_dev, n_gen_dev, slot_map, dispatched, n_iters_dev, used_spec in inflight:
             tokens = np.asarray(tokens_dev)      # blocks until device completion
             n_gen = np.asarray(n_gen_dev)
             done = time.perf_counter()
+            if used_spec:
+                # realized acceptance -> adaptive controller (rides the
+                # collection sync; adds no device round-trips)
+                emitted = int(sum(n_gen[slot] for slot in slot_map))
+                self._ctl().observe(emitted, len(slot_map), int(n_iters_dev))
+                self.engine.metrics.record("spec_tokens_per_window",
+                                           emitted / max(len(slot_map), 1)
+                                           / max(int(n_iters_dev), 1))
             with self._lock:
                 for slot, (sid, span, n_new) in slot_map.items():
                     s = self._streams.get(sid)
@@ -733,15 +767,13 @@ class StreamServer:
             deltas[slot] = s.rope_delta
             active[slot] = True
 
-        if self._step is None:
-            self._step = make_pool_step(engine.cfg, self.gen, engine.use_flash,
-                                        spec=self._spec())
+        use_spec = self._ctl().use_spec()
         engine._rng, sub = jax.random.split(engine._rng)
         (tokens, n_gen, self.pool_caches, self.pool_counts, self.pool_last,
-         self.pool_hist) = self._step(
+         self.pool_hist, n_iters) = self._get_step(use_spec)(
             engine.params, jnp.asarray(ids), jnp.asarray(valid),
             self.pool_caches, patches, vis0.cos, vis0.sin, vis0.seg_ids,
             self.pool_counts, self.pool_last, jnp.asarray(deltas),
             jnp.asarray(active), sub, hist=self.pool_hist, group=vis0.group,
         )
-        return (tokens, n_gen, slot_map, time.perf_counter())
+        return (tokens, n_gen, slot_map, time.perf_counter(), n_iters, use_spec)

@@ -232,7 +232,11 @@ def test_fused_lookahead_with_compaction(setup):
     gen = gen_params(cfg, max_new_tokens=4)
     kw = dict(cache_len=256, compact_keep=96, compact_sink_cap=64)
     ref_engine = LiveCCEngine(params, cfg, tok, **kw)
-    spec_engine = LiveCCEngine(params, cfg, tok, spec=SpecConfig(k_draft=3), **kw)
+    # adaptive=False pins PURE lookahead: the fully-populated-hist invariant
+    # below only holds when every chunk runs the lookahead path (the
+    # adaptive controller rightly abandons it on incompressible random text)
+    spec_engine = LiveCCEngine(params, cfg, tok,
+                               spec=SpecConfig(k_draft=3, adaptive=False), **kw)
     ref_texts, ref_st = run_stream(ref_engine, gen, n_chunks=6, stream_cache_len=256)
     spec_texts, spec_st = run_stream(spec_engine, gen, n_chunks=6, stream_cache_len=256)
     assert ref_engine.metrics.summary("cache_compaction_dropped_tokens").get("n", 0) > 0, \
@@ -286,3 +290,57 @@ def test_fused_lookahead_int8_weights_smoke(setup):
                        spec=SpecConfig(k_draft=3), quantize_weights=True)
     texts, st = run_stream(eng, gen, n_chunks=2)
     assert len(texts) == 2 and st.length > 0
+
+
+def test_spec_controller_adaptive_switch():
+    """Low acceptance disables lookahead (keeps only periodic probes); high
+    acceptance re-enables it — the B=8 uncorrelated-pool self-disable."""
+    from livecc_tpu.engine.speculative import SpecConfig, SpecController
+
+    spec = SpecConfig(k_draft=8, cost_ratio=1.45, ema=0.5, probe_every=4)
+    ctl = SpecController(spec)
+    assert ctl.use_spec()                      # optimistic start
+    # pool of 8 rows, 6 windows each emitting 1 token/row: acceptance 1.0
+    for _ in range(6):
+        ctl.observe(tokens_total=8 * 6, n_rows=8, n_iters=6)
+    assert not ctl.enabled and ctl.ema < spec.cost_ratio
+    # disabled: only every probe_every-th dispatch runs lookahead
+    pattern = [ctl.use_spec() for _ in range(8)]
+    assert pattern.count(True) == 2 and pattern[3] and pattern[7]
+    # a repetitive regime at the probe: 8 rows, 2 windows, 6 tokens each
+    for _ in range(8):
+        ctl.observe(tokens_total=8 * 12, n_rows=8, n_iters=2)
+    assert ctl.enabled
+    assert all(ctl.use_spec() for _ in range(4))
+
+
+def test_spec_controller_off_and_nonadaptive():
+    from livecc_tpu.engine.speculative import SpecConfig, SpecController
+
+    assert not SpecController(None).use_spec()
+    ctl = SpecController(SpecConfig(adaptive=False))
+    ctl.observe(1, 8, 10)       # ignored
+    assert ctl.use_spec() and ctl.ema is None
+
+
+def test_adaptive_engine_switches_to_plain_decode(setup):
+    """Solo engine under a hostile regime: after the EMA drops, chunks run
+    plain fused decode — and outputs stay identical to the reference."""
+    from livecc_tpu.engine.speculative import SpecConfig
+
+    cfg, params, tok = setup
+    gen = gen_params(cfg)
+    spec = SpecConfig(k_draft=3, fused=True, adaptive=True,
+                      cost_ratio=1.45, ema=1.0, probe_every=3)
+    ref = LiveCCEngine(params, cfg, tok, cache_len=512)
+    eng = LiveCCEngine(params, cfg, tok, cache_len=512, spec=spec)
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 255, (10, 56, 56, 3), np.uint8)
+    a = ref.live_cc_once_for_evaluation("q", frames, max_new_tokens=6,
+                                        repetition_penalty=1.05)
+    b = eng.live_cc_once_for_evaluation("q", frames, max_new_tokens=6,
+                                        repetition_penalty=1.05)
+    assert a == b
+    # random-model commentary is incompressible: the controller must have
+    # fallen back to plain decode at some point during the clip
+    assert eng._spec_ctl is not None and eng._spec_ctl.ema is not None
