@@ -341,6 +341,66 @@ def kernel_parity_preamble() -> None:
     sys.stderr.flush()
 
 
+def bench_7b_slice() -> dict:
+    """Depth-2 slice at TRUE 7B width on the single chip (VERDICT r3 #5).
+
+    The product model is 7B (reference demo/infer.py:43-47); this image has
+    one chip, so 7B serving rides the TP=4 plan (parallel/memory.py). This
+    measures the real per-layer decode/prefill cost at width — hidden 3584,
+    28q/4kv GQA (head_dim 128), vocab 152064 — so the 28-layer projection is
+    measurement-derived, not budget arithmetic: a separate lm_head-only
+    probe isolates the depth-independent cost (152k-vocab head + embed +
+    dispatch), and per_layer = (step - head) / depth.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from livecc_tpu.models.qwen2_vl.model import init_params
+    from livecc_tpu.models.qwen2_vl.text import lm_logits
+    from tools.exp_7b_slice import time_decode, time_prefill, width7b
+
+    depth = 2
+    cfg = width7b(depth)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.block_until_ready(params)
+    steps = int(os.environ.get("BENCH_7B_STEPS", 24))
+    d1 = time_decode(params, cfg, 8192, 1, steps)
+    d8 = time_decode(params, cfg, 8192, 8, steps)
+    p256 = time_prefill(params, cfg, 8192, 256, max(steps // 4, 4))
+
+    # depth-independent cost: the 152k-vocab head on one token
+    head = jax.jit(lambda t, h: lm_logits(t, cfg.text, h))
+    hid = jnp.ones((1, 1, cfg.text.hidden_size), jnp.bfloat16)
+    np.asarray(head(params["text"], hid))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = head(params["text"], hid)
+    np.asarray(out)
+    head_s = (time.perf_counter() - t0) / steps
+
+    per_layer_b1 = (d1 - head_s) / depth
+    per_layer_b8 = (d8 - head_s) / depth
+    proj28_b1 = head_s + 28 * per_layer_b1
+    proj28_tp4_b1 = head_s / 4 + 28 * per_layer_b1 / 4  # TP shards head+layers
+    return {
+        "metric": "7b_width_slice_decode_b1",
+        "value": round(d1 * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": 0.0,
+        "diagnostics": {
+            "depth": depth,
+            "decode_b1_ms": round(d1 * 1e3, 3),
+            "decode_b8_ms": round(d8 * 1e3, 3),
+            "prefill256_b1_ms": round(p256 * 1e3, 3),
+            "lm_head_only_ms": round(head_s * 1e3, 3),
+            "per_layer_decode_b1_ms": round(per_layer_b1 * 1e3, 3),
+            "per_layer_decode_b8_ms": round(per_layer_b8 * 1e3, 3),
+            "proj_28layers_decode_b1_ms": round(proj28_b1 * 1e3, 2),
+            "proj_28layers_tp4_decode_b1_ms": round(proj28_tp4_b1 * 1e3, 2),
+        },
+    }
+
+
 def main() -> None:
     """The LAST stdout line is the headline metric (driver parses last)."""
     import sys
@@ -349,6 +409,9 @@ def main() -> None:
     results = []
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         results.append(bench_train())
+    on_tpu = __import__("jax").default_backend() == "tpu"
+    if os.environ.get("BENCH_7B", "1" if on_tpu else "0") != "0":
+        results.append(bench_7b_slice())
     if os.environ.get("BENCH_SERVE", "1") != "0":
         results.append(bench_serving())        # headline stays last
     for r in results:
