@@ -85,55 +85,91 @@ class SpecConfig:
     max_ngram: int = 3        # longest suffix n-gram tried by the lookup
     fused: bool = True
     # Host-side adaptive controller (SpecController below, shared by the
-    # solo engine and the serving pool):
-    # lookahead pays a fixed window premium per dispatch (a W=K+1 verify
-    # forward costs ~cost_ratio of a 1-token decode step, measured in
-    # PERF.md "Lookahead decoding"); when the pool's realized
-    # tokens-per-window EMA falls below that ratio, lookahead LOSES and the
-    # tick switches to plain fused decode, re-probing every probe_every
-    # ticks so regime shifts (repetitive commentary) re-enable it.
+    # solo engine and the serving pool): EMA-compares MEASURED wall per
+    # emitted token between lookahead and plain dispatches and runs the
+    # faster mode, probing the slower one every probe_every dispatches.
+    # (A fixed cost-model threshold was tried and falsified: at B=8 the
+    # pool verify window costs ~3.5 decode steps, not the B=1-derived
+    # 1.45x — PERF.md r4 "Pool lookahead A/B".)
     adaptive: bool = True
-    cost_ratio: float = 1.45
-    ema: float = 0.3          # EMA smoothing for accepted tokens/window
+    ema: float = 0.3          # EMA smoothing for the per-mode cost estimates
     probe_every: int = 16
 
 
 class SpecController:
-    """Adaptive lookahead switch (host-side, zero extra device syncs).
+    """Adaptive lookahead switch driven by MEASURED wall per emitted token.
 
-    A verify window (W = k_draft+1 tokens/row) costs ~``cost_ratio`` of a
-    1-token decode step (PERF.md "Lookahead decoding": 8.4 ms vs 6.3 ms at
-    2B), so lookahead only wins while the pool-wide ACCEPTED tokens per
-    window exceeds that ratio. At B=8 with uncorrelated streams the r3
-    measurements showed a 14-21% loss — this controller makes that case
-    self-disable: it EMA-tracks tokens/window from each collected dispatch
-    (the stats ride the existing async collection; no added round-trips),
-    switches the tick to plain fused decode below the threshold, and
-    re-probes one dispatch in every ``probe_every`` so a regime shift back
-    to repetitive commentary re-enables lookahead."""
+    A cost-model switch ("lookahead wins when tokens/window > the window's
+    fixed premium") is wrong at pool batch: the r4 interleaved A/B at B=8
+    measured lookahead 20% SLOWER than plain decode at 2.7-3.2 accepted
+    tokens/window (PERF.md r4 "Pool lookahead A/B") — the pool-wide verify
+    window costs ~3.5 decode steps there, not the B=1-derived 1.45x. So
+    this controller assumes nothing: it EMA-tracks realized
+    seconds-per-emitted-token for EACH mode from the dispatch walls the
+    host already observes (the async collection sync in the pool, the
+    chunk-token fetch in the solo engine — zero added round-trips), runs
+    whichever mode measures faster, and probes the slower mode once every
+    ``probe_every`` dispatches so regime shifts (acceptance or chip state)
+    flip the decision. Bootstrap order: lookahead first, then one plain
+    dispatch, then data rules. A 3x-of-EMA clip keeps one relay stall from
+    poisoning an estimate."""
 
     def __init__(self, spec):
         self.spec = spec
-        self.ema: float | None = None
+        self.spt: dict[bool, float | None] = {True: None, False: None}
+        self.ema: float | None = None        # accepted tokens/window (metric)
         self._dispatch_n = 0
-        self.enabled = True
+        self.force: bool | None = None       # experiment hook: pin the decision
+        self.last_choice: bool = True
+
+    @property
+    def enabled(self) -> bool:
+        """Current steady-state decision (ignoring probe ticks)."""
+        s, p = self.spt[True], self.spt[False]
+        if s is None or p is None:
+            return True
+        return s < p
 
     def use_spec(self) -> bool:
         if self.spec is None:
             return False
-        if not self.spec.adaptive or self.enabled:
+        if self.force is not None:
+            self.last_choice = self.force
+            return self.force
+        if not self.spec.adaptive:
+            self.last_choice = True
             return True
         self._dispatch_n += 1
-        return self._dispatch_n % self.spec.probe_every == 0
+        s, p = self.spt[True], self.spt[False]
+        if s is None:
+            choice = True                    # bootstrap: measure lookahead
+        elif p is None:
+            choice = False                   # then measure plain once
+        elif self._dispatch_n % self.spec.probe_every == 0:
+            choice = not (s < p)             # keep the loser's estimate fresh
+        else:
+            choice = s < p
+        self.last_choice = choice
+        return choice
+
+    def observe_wall(self, used_spec: bool, wall_s: float, tokens: int) -> None:
+        """Feed one dispatch's realized wall + emitted tokens."""
+        if self.spec is None or not self.spec.adaptive or tokens <= 0 or wall_s <= 0:
+            return
+        v = wall_s / tokens
+        cur = self.spt[used_spec]
+        if cur is not None:
+            v = min(v, 3.0 * cur)            # relay-stall clip
+        a = self.spec.ema
+        self.spt[used_spec] = v if cur is None else (1 - a) * cur + a * v
 
     def observe(self, tokens_total: int, n_rows: int, n_iters: int) -> None:
-        """Feed one spec dispatch's realized acceptance (from _collect)."""
-        if self.spec is None or not self.spec.adaptive or n_rows == 0 or n_iters <= 0:
+        """Acceptance diagnostics (tokens/window EMA — reporting only)."""
+        if self.spec is None or n_rows == 0 or n_iters <= 0:
             return
         tpw = tokens_total / (n_rows * n_iters)
         a = self.spec.ema
         self.ema = tpw if self.ema is None else (1 - a) * self.ema + a * tpw
-        self.enabled = self.ema >= self.spec.cost_ratio
 
 
 def _accept_scan(gen: GenerationParams, k_draft: int, srcs: jnp.ndarray,

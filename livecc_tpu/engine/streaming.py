@@ -20,6 +20,7 @@ commentary, history continues from all but each chunk's final token
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Optional, Sequence
 
 import numpy as np
@@ -125,9 +126,9 @@ class LiveCCEngine:
         self.spec = spec
         self.spec_draft_source = None
         # adaptive lookahead controller (engine/speculative.py:
-        # SpecController, shared with the serving pool): disables the fused
-        # lookahead when realized tokens/window can't pay the verify-window
-        # premium, re-probing periodically
+        # SpecController, shared with the serving pool): runs whichever of
+        # lookahead/plain MEASURES faster per emitted token, probing the
+        # slower mode periodically
         self._spec_ctl = None
         self.sys_offset = chat.system_prompt_offset()
         # ' ...' continuation marker token (reference demo/infer.py:49)
@@ -352,6 +353,7 @@ class LiveCCEngine:
             from livecc_tpu.engine.speculative import decode_chunk_lookahead
 
             self._rng, sub = jax.random.split(self._rng)
+            t0 = time.perf_counter()
             (tokens, n_gen, state.cache, state.hist, state.counts,
              n_iters) = decode_chunk_lookahead(
                 self.params, self.cfg, gen, self.spec,
@@ -362,18 +364,25 @@ class LiveCCEngine:
             )
             n = int(n_gen[0])
             generated = np.asarray(tokens)[0, :n].tolist()
+            # np.asarray forced completion: an honest decode wall, fed to
+            # the measured-cost controller (includes the pending prefill —
+            # both modes pay it identically)
+            self._spec_ctl.observe_wall(True, time.perf_counter() - t0, n)
             self._spec_ctl.observe(n, 1, int(n_iters))
         elif self.spec is not None and self.spec.fused:
-            # adaptive controller has lookahead disabled: plain fused decode
+            # adaptive controller chose plain fused decode this chunk
             # (state.hist goes stale here; it only degrades DRAFT quality on
             # the next probe — outputs stay exact by acceptance)
             self._rng, sub = jax.random.split(self._rng)
+            t0 = time.perf_counter()
             tokens, n_gen, state.cache, state.counts = decode_chunk(
                 self.params, self.cfg, gen, logits0, state.cache, state.counts,
                 jnp.asarray([[state.rope_delta]], jnp.int32), sub,
                 use_flash=self.use_flash,
             )
-            generated = np.asarray(tokens)[0, : int(n_gen[0])].tolist()
+            n = int(n_gen[0])
+            generated = np.asarray(tokens)[0, :n].tolist()
+            self._spec_ctl.observe_wall(False, time.perf_counter() - t0, n)
         elif self.spec is not None:
             from livecc_tpu.engine.speculative import speculative_decode_chunk
 

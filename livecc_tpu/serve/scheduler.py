@@ -616,10 +616,12 @@ class StreamServer:
             tokens = np.asarray(tokens_dev)      # blocks until device completion
             n_gen = np.asarray(n_gen_dev)
             done = time.perf_counter()
+            # measured cost -> adaptive controller (rides the collection
+            # sync; adds no device round-trips). wall = dispatch -> device
+            # done: prefill + decode + queueing, a fair per-mode comparison.
+            emitted = int(sum(n_gen[slot] for slot in slot_map))
+            self._ctl().observe_wall(used_spec, done - dispatched, emitted)
             if used_spec:
-                # realized acceptance -> adaptive controller (rides the
-                # collection sync; adds no device round-trips)
-                emitted = int(sum(n_gen[slot] for slot in slot_map))
                 self._ctl().observe(emitted, len(slot_map), int(n_iters_dev))
                 self.engine.metrics.record("spec_tokens_per_window",
                                            emitted / max(len(slot_map), 1)

@@ -292,35 +292,31 @@ def test_fused_lookahead_int8_weights_smoke(setup):
     assert len(texts) == 2 and st.length > 0
 
 
-def test_spec_controller_adaptive_switch():
-    """Low acceptance disables lookahead (keeps only periodic probes); high
-    acceptance re-enables it — the B=8 uncorrelated-pool self-disable."""
+def test_spec_controller_measured_cost_switch():
+    """The controller compares MEASURED seconds-per-token between modes and
+    runs the faster one — the B=8 loss case self-disables on data, not on a
+    cost model (the fixed-ratio model was falsified on-chip, PERF.md r4)."""
     from livecc_tpu.engine.speculative import SpecConfig, SpecController
 
-    spec = SpecConfig(k_draft=8, cost_ratio=1.45, ema=0.5, probe_every=4)
+    spec = SpecConfig(k_draft=8, ema=0.5, probe_every=4)
     ctl = SpecController(spec)
-    assert ctl.use_spec()                      # optimistic start
-    # pool of 8 rows, 6 windows each emitting 1 token/row: acceptance 1.0
-    for _ in range(6):
-        ctl.observe(tokens_total=8 * 6, n_rows=8, n_iters=6)
-    assert not ctl.enabled and ctl.ema < spec.cost_ratio
-    # disabled: only every probe_every-th dispatch runs lookahead
+    assert ctl.use_spec()                      # bootstrap: measure lookahead
+    ctl.observe_wall(True, wall_s=0.9, tokens=16)    # 56 ms/token
+    assert not ctl.use_spec()                  # then measure plain once
+    ctl.observe_wall(False, wall_s=0.7, tokens=16)   # 44 ms/token: plain wins
     pattern = [ctl.use_spec() for _ in range(8)]
-    assert pattern.count(True) == 2 and pattern[3] and pattern[7]
-    # a repetitive regime at the probe: 8 rows, 2 windows, 6 tokens each
-    for _ in range(8):
-        ctl.observe(tokens_total=8 * 12, n_rows=8, n_iters=2)
+    # plain runs except one lookahead probe per probe_every window
+    assert pattern.count(True) <= 2 and not all(pattern)
+    assert not ctl.enabled
+    # regime shift: lookahead probes now measure much faster -> flips back
+    for _ in range(12):
+        ctl.observe_wall(True, wall_s=0.3, tokens=16)
     assert ctl.enabled
-    assert all(ctl.use_spec() for _ in range(4))
-
-
-def test_spec_controller_off_and_nonadaptive():
-    from livecc_tpu.engine.speculative import SpecConfig, SpecController
-
-    assert not SpecController(None).use_spec()
-    ctl = SpecController(SpecConfig(adaptive=False))
-    ctl.observe(1, 8, 10)       # ignored
-    assert ctl.use_spec() and ctl.ema is None
+    assert sum(ctl.use_spec() for _ in range(8)) >= 6
+    # relay-stall clip: one 30x outlier cannot flip a healthy estimate
+    before = ctl.spt[True]
+    ctl.observe_wall(True, wall_s=9.0, tokens=16)
+    assert ctl.spt[True] <= 3.0 * before
 
 
 def test_adaptive_engine_switches_to_plain_decode(setup):
@@ -331,7 +327,7 @@ def test_adaptive_engine_switches_to_plain_decode(setup):
     cfg, params, tok = setup
     gen = gen_params(cfg)
     spec = SpecConfig(k_draft=3, fused=True, adaptive=True,
-                      cost_ratio=1.45, ema=1.0, probe_every=3)
+                      ema=1.0, probe_every=3)
     ref = LiveCCEngine(params, cfg, tok, cache_len=512)
     eng = LiveCCEngine(params, cfg, tok, cache_len=512, spec=spec)
     rng = np.random.RandomState(5)

@@ -101,6 +101,66 @@ def run_cell(params, cfg, frame_hw, spec, penalty, label):
     gc.collect()
 
 
+def run_abab(params, cfg, frame_hw, penalty, label):
+    """Interleaved per-tick A/B within ONE server lifetime: forces the
+    adaptive controller plain/lookahead on alternating ticks, so both modes
+    see the same warm programs, the same cache-depth trajectory, and the
+    same chip drift — the honest pairwise comparison (per-cell medians in
+    run_cell mix per-cell warmup tails with session drift; the first run's
+    hostile cells disagreed with their own last-8 windows)."""
+    cache_dtype = jnp.int8 if jax.default_backend() == "tpu" else jnp.float32
+    engine = LiveCCEngine(params, cfg, ByteTokenizer.for_config(cfg),
+                          cache_len=8192, cache_dtype=cache_dtype,
+                          spec=SpecConfig())
+    gen = GenerationParams(max_new_tokens=16, eos_token_id=cfg.eos_token_id,
+                           pad_token_id=cfg.pad_token_id,
+                           repetition_penalty=penalty)
+    server = StreamServer(engine, gen, capacity=STREAMS)
+    server.warmup([frame_hw])                 # compiles BOTH tick programs
+    rng = np.random.RandomState(0)
+    h, w = frame_hw
+    frames = lambda n: rng.randint(0, 255, size=(n, h, w, 3), dtype=np.uint8)
+    sids = [server.add_stream(frame_hw, query="Please describe the video.")
+            for _ in range(STREAMS)]
+    for sid in sids:
+        server.submit_chunk(sid, frames(6), 0.0, 3.0)
+    server.tick()
+    t = 3.0
+    ctl = server._ctl()
+    for force in (False, True, False, True):  # warm both modes' steady state
+        ctl.force = force
+        for sid in sids:
+            server.submit_chunk(sid, frames(2), t, t + 1.0)
+        server.tick()
+        server.flush()
+        t += 1.0
+    [server.drain(sid) for sid in sids]
+    walls = {False: [], True: []}
+    for i in range(2 * TICKS):
+        force = bool(i % 2)
+        ctl.force = force
+        for sid in sids:
+            server.submit_chunk(sid, frames(2), t, t + 1.0)
+        t0 = time.perf_counter()
+        server.tick()
+        server.flush()
+        walls[force].append(time.perf_counter() - t0)
+        t += 1.0
+    [server.drain(sid) for sid in sids]
+    pair_delta = [s - p for p, s in zip(walls[False], walls[True])]
+    emit(cell=label, streams=STREAMS, ticks_per_mode=TICKS,
+         plain_p50_ms=round(float(np.percentile(walls[False], 50)) * 1e3, 1),
+         spec_p50_ms=round(float(np.percentile(walls[True], 50)) * 1e3, 1),
+         pairwise_spec_minus_plain_p50_ms=round(
+             float(np.percentile(pair_delta, 50)) * 1e3, 1),
+         spec_win_rate=round(float(np.mean([d < 0 for d in pair_delta])), 2),
+         tokens_per_window=engine.metrics.summary("spec_tokens_per_window").get("mean"),
+         adaptive_ema=None if ctl.ema is None else round(ctl.ema, 3))
+    del server, engine
+    import gc
+    gc.collect()
+
+
 def main():
     if MODEL == "2b":
         cfg, frame_hw = ModelConfig.qwen2_vl_2b(), (308, 560)
@@ -111,14 +171,18 @@ def main():
     from livecc_tpu.utils.calibrate import calibrate_matmul
     if jax.default_backend() == "tpu":
         emit(probe="calibration", **calibrate_matmul())
-    cells = [
-        ("plain", None),
-        ("lookahead_pinned", SpecConfig(adaptive=False)),
-        ("adaptive", SpecConfig()),
-    ]
-    for penalty, regime in ((1.05, "hostile"), (0.9, "loop")):
-        for name, spec in cells:
-            run_cell(params, cfg, frame_hw, spec, penalty, f"{regime}/{name}")
+    if os.environ.get("EXP_ABAB", "1") == "1":
+        for penalty, regime in ((1.05, "hostile"), (0.9, "loop")):
+            run_abab(params, cfg, frame_hw, penalty, f"abab/{regime}")
+    else:
+        cells = [
+            ("plain", None),
+            ("lookahead_pinned", SpecConfig(adaptive=False)),
+            ("adaptive", SpecConfig()),
+        ]
+        for penalty, regime in ((1.05, "hostile"), (0.9, "loop")):
+            for name, spec in cells:
+                run_cell(params, cfg, frame_hw, spec, penalty, f"{regime}/{name}")
     if jax.default_backend() == "tpu":
         emit(probe="calibration", **calibrate_matmul())
 
