@@ -24,16 +24,40 @@ def _seed(name: str) -> int:
     return zlib.crc32(name.encode()) & 0x7FFFFFFF
 
 
+# Per-call sampling of 2.15B variates takes ~15 min on this 1-vCPU host, so
+# the recipe is memory-bound instead: one fixed uniform pool, tiled from a
+# per-tensor name-hashed offset. The pool length is PRIME, so consecutive
+# rows of a [V, H] matrix read offsets r*H mod _POOL_N that never cycle for
+# any H < _POOL_N — every vocab row is distinct (argmax margins stay
+# meaningful) without any per-row work.
+_POOL_N = 1_048_583  # smallest prime > 2^20
+_POOL: np.ndarray | None = None
+RECIPE_VERSION = 2  # stored in goldens; bump whenever the math here changes
+
+
+def _pool() -> np.ndarray:
+    global _POOL
+    if _POOL is None:
+        g = np.random.Generator(np.random.SFC64(0xC0FFEE))
+        _POOL = (g.random(_POOL_N, dtype=np.float32) * 2.0 - 1.0)
+    return _POOL
+
+
 def recipe_tensor(name: str, shape: tuple[int, ...]) -> np.ndarray:
-    """The committed recipe: HF param name + shape -> fp32 tensor."""
-    rng = np.random.RandomState(_seed(name))
+    """The committed recipe: HF param name + shape -> fp32 tensor.
+
+    Values are uniform in [-0.02, 0.02] for projections/embeddings/biases and
+    1 + [-0.02, 0.02] for norm weights — bounded depth-4 activations that
+    exercise every path (norm scale, bias add) like a sane init would.
+    """
+    n = int(np.prod(shape)) if shape else 1
+    start = _seed(name) % _POOL_N
+    reps = -(-(start + n) // _POOL_N)
+    flat = np.tile(_pool(), reps)[start:start + n]
     base = name.rsplit(".", 1)[-1]
-    lname = name.lower()
-    if "norm" in lname and base == "weight":
-        return (1.0 + 0.02 * rng.standard_normal(shape)).astype(np.float32)
-    if base == "bias":
-        return (0.02 * rng.standard_normal(shape)).astype(np.float32)
-    return (0.02 * rng.standard_normal(shape)).astype(np.float32)
+    if "norm" in name.lower() and base == "weight":
+        return (1.0 + 0.02 * flat).reshape(shape)
+    return (0.02 * flat).reshape(shape)
 
 
 def state_dict_from_manifest(manifest: dict[str, tuple[int, ...]]) -> dict[str, np.ndarray]:
