@@ -342,59 +342,57 @@ def kernel_parity_preamble() -> None:
 
 
 def bench_7b_slice() -> dict:
-    """Depth-2 slice at TRUE 7B width on the single chip (VERDICT r3 #5).
+    """Depth-reduced slices at TRUE 7B width on the single chip (VERDICT r3 #5).
 
     The product model is 7B (reference demo/infer.py:43-47); this image has
     one chip, so 7B serving rides the TP=4 plan (parallel/memory.py). This
     measures the real per-layer decode/prefill cost at width — hidden 3584,
     28q/4kv GQA (head_dim 128), vocab 152064 — so the 28-layer projection is
-    measurement-derived, not budget arithmetic: a separate lm_head-only
-    probe isolates the depth-independent cost (152k-vocab head + embed +
-    dispatch), and per_layer = (step - head) / depth.
+    measurement-derived, not budget arithmetic. Per-layer cost comes from a
+    TWO-DEPTH difference of FUSED decode loops, per_layer = (d4 - d2) / 2,
+    which cancels every depth-independent term (152k-vocab head + embed +
+    sampling + dispatch) without an un-fused probe (an un-fused lm_head
+    probe is RTT-dominated through this relay and over-subtracts ~3x).
     """
     import jax
     import jax.numpy as jnp
 
     from livecc_tpu.models.qwen2_vl.model import init_params
-    from livecc_tpu.models.qwen2_vl.text import lm_logits
     from tools.exp_7b_slice import time_decode, time_prefill, width7b
 
-    depth = 2
-    cfg = width7b(depth)
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = jax.block_until_ready(params)
     steps = int(os.environ.get("BENCH_7B_STEPS", 24))
-    d1 = time_decode(params, cfg, 8192, 1, steps)
-    d8 = time_decode(params, cfg, 8192, 8, steps)
-    p256 = time_prefill(params, cfg, 8192, 256, max(steps // 4, 4))
+    meas = {}
+    for depth in (2, 4):
+        cfg = width7b(depth)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        params = jax.block_until_ready(params)
+        meas[depth] = {
+            "d1": time_decode(params, cfg, 8192, 1, steps),
+            "d8": time_decode(params, cfg, 8192, 8, steps),
+            "p256": time_prefill(params, cfg, 8192, 256, max(steps // 4, 4)),
+        }
+        del params
 
-    # depth-independent cost: the 152k-vocab head on one token
-    head = jax.jit(lambda t, h: lm_logits(t, cfg.text, h))
-    hid = jnp.ones((1, 1, cfg.text.hidden_size), jnp.bfloat16)
-    np.asarray(head(params["text"], hid))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = head(params["text"], hid)
-    np.asarray(out)
-    head_s = (time.perf_counter() - t0) / steps
-
-    per_layer_b1 = (d1 - head_s) / depth
-    per_layer_b8 = (d8 - head_s) / depth
-    proj28_b1 = head_s + 28 * per_layer_b1
-    proj28_tp4_b1 = head_s / 4 + 28 * per_layer_b1 / 4  # TP shards head+layers
+    per_layer_b1 = (meas[4]["d1"] - meas[2]["d1"]) / 2
+    per_layer_b8 = (meas[4]["d8"] - meas[2]["d8"]) / 2
+    per_layer_p256 = (meas[4]["p256"] - meas[2]["p256"]) / 2
+    head_b1 = meas[2]["d1"] - 2 * per_layer_b1   # depth-independent remainder
+    proj28_b1 = head_b1 + 28 * per_layer_b1
+    proj28_tp4_b1 = proj28_b1 / 4                # TP=4 shards head + layers
     return {
         "metric": "7b_width_slice_decode_b1",
-        "value": round(d1 * 1e3, 3),
+        "value": round(meas[2]["d1"] * 1e3, 3),
         "unit": "ms",
         "vs_baseline": 0.0,
         "diagnostics": {
-            "depth": depth,
-            "decode_b1_ms": round(d1 * 1e3, 3),
-            "decode_b8_ms": round(d8 * 1e3, 3),
-            "prefill256_b1_ms": round(p256 * 1e3, 3),
-            "lm_head_only_ms": round(head_s * 1e3, 3),
+            "depths": [2, 4],
+            "decode_b1_ms": {d: round(m["d1"] * 1e3, 3) for d, m in meas.items()},
+            "decode_b8_ms": {d: round(m["d8"] * 1e3, 3) for d, m in meas.items()},
+            "prefill256_b1_ms": {d: round(m["p256"] * 1e3, 3) for d, m in meas.items()},
             "per_layer_decode_b1_ms": round(per_layer_b1 * 1e3, 3),
             "per_layer_decode_b8_ms": round(per_layer_b8 * 1e3, 3),
+            "per_layer_prefill256_ms": round(per_layer_p256 * 1e3, 3),
+            "depth_independent_decode_b1_ms": round(head_b1 * 1e3, 3),
             "proj_28layers_decode_b1_ms": round(proj28_b1 * 1e3, 2),
             "proj_28layers_tp4_decode_b1_ms": round(proj28_tp4_b1 * 1e3, 2),
         },
