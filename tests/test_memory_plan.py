@@ -138,3 +138,40 @@ def test_streaming_horizon_matches_observed_exhaustion():
     hb = streaming_horizon(grid, cache_len=16384, start_len=1024,
                            compact_keep=16000)
     assert not hb.unbounded
+
+
+# ---------------------------------------------------------------------------
+# Measurement-derived 7B latency projection (VERDICT r3 weak #6 / next #5)
+# ---------------------------------------------------------------------------
+
+def test_7b_latency_projection_tp4_inside_budget():
+    """Full-depth 7B under TP=4 from the MEASURED width slice: the per-chunk
+    wall (prefill + 16 decode tokens) must sit far inside the 2 s budget."""
+    from livecc_tpu.parallel.memory import serving_latency
+
+    proj = serving_latency(ModelConfig.qwen2_vl_7b(), n_model=4)
+    # decode: (3.49 + 28*0.550)/4 + 56*0.005 = 4.99 ms/token
+    assert 3.0 < proj.decode_ms_per_token < 8.0, proj.describe()
+    # prefill 256-token chunk: 28*2.146/4 + 0.28 = 15.3 ms
+    assert 8.0 < proj.prefill_chunk_ms < 30.0, proj.describe()
+    assert proj.chunk_ms < 200.0, proj.describe()  # 10x inside 2 s
+
+
+def test_7b_latency_projection_reconstructs_slice():
+    """The projection at TP=1 and the slice's own depths must agree: the
+    model is (remainder + L*per_layer), so plugging the slice depths back
+    in reproduces the fused-loop measurements the costs came from."""
+    import dataclasses as dc
+
+    from livecc_tpu.parallel.memory import MEASURED_7B_WIDTH, serving_latency
+
+    cfg = ModelConfig.qwen2_vl_7b()
+    for depth, measured_ms in ((2, 4.59), (4, 5.689)):
+        sliced = dc.replace(cfg, text=dc.replace(cfg.text, num_hidden_layers=depth))
+        proj = serving_latency(sliced, n_model=1)
+        assert abs(proj.decode_ms_per_token - measured_ms) < 0.02
+    # B=8 per-layer path selected by batch
+    p8 = serving_latency(cfg, n_model=4, batch=8)
+    p1 = serving_latency(cfg, n_model=4, batch=1)
+    assert p8.decode_ms_per_token > p1.decode_ms_per_token
+    assert MEASURED_7B_WIDTH.provenance in p8.describe()
