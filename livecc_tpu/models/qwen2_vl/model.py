@@ -31,6 +31,13 @@ from livecc_tpu.ops.rope import vision_rotary_cos_sin
 
 Params = dict[str, Any]
 
+# ViT attention impl on the TPU path: "flash" (Pallas per-group kernel,
+# ops/pallas/vit_attention.py) or "xla" (bf16-scores einsum blocks). Env
+# override for A/B experiments, mirroring TRAIN_ATTN in ops/attention.py.
+import os as _os
+
+_VIT_ATTN_IMPL = _os.environ.get("VIT_ATTN", "flash")
+
 
 def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     kv, kt = jax.random.split(key)
@@ -204,8 +211,10 @@ def forward(
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full multimodal forward. Returns (logits [B,S,V] fp32 or hidden, cache)."""
     embeds = embed_lookup(params["text"]["embed"]["weight"], input_ids)
-    # ViT fast path rides the same switch as the Pallas kernels: bf16 QK^T
-    # scores on the TPU path, fp32 on the XLA/CPU parity path.
+    # ViT hot path rides the same switch as the text Pallas kernels: the
+    # per-group Pallas kernel on TPU (VIT_ATTN=xla A/Bs back to the bf16-
+    # scores XLA path), fp32 XLA on the CPU parity path.
+    vit_flash = use_flash and _VIT_ATTN_IMPL == "flash"
     vit_score_dtype = jnp.bfloat16 if use_flash else None
     if vision is not None:
         if vision.patches.ndim == 3:
@@ -215,7 +224,7 @@ def forward(
                 lambda patches: vision_forward(
                     params["visual"], cfg.vision, patches,
                     vision.cos, vision.sin, vision.seg_ids, vision.group,
-                    score_dtype=vit_score_dtype,
+                    score_dtype=vit_score_dtype, use_flash=vit_flash,
                 )
             )(vision.patches)                                   # [B, Nv, H]
             embeds = jax.vmap(
@@ -225,13 +234,14 @@ def forward(
             video_embeds = vision_forward(
                 params["visual"], cfg.vision, vision.patches, vision.cos, vision.sin,
                 vision.seg_ids, vision.group, score_dtype=vit_score_dtype,
+                use_flash=vit_flash,
             )
             embeds = scatter_video_embeds(cfg, embeds, input_ids, video_embeds)
     if vision_images is not None:
         image_embeds = vision_forward(
             params["visual"], cfg.vision, vision_images.patches, vision_images.cos,
             vision_images.sin, vision_images.seg_ids, vision_images.group,
-            score_dtype=vit_score_dtype,
+            score_dtype=vit_score_dtype, use_flash=vit_flash,
         )
         embeds = scatter_video_embeds(cfg, embeds, input_ids, image_embeds,
                                       token_id=cfg.image_token_id)

@@ -66,6 +66,7 @@ def vision_forward(
     seg_ids: jnp.ndarray,    # [N] int32 — per-temporal-group segment ids (pad < 0)
     group_size: int | None = None,   # static h*w when all groups are equal
     score_dtype=None,        # None = fp32 scores (parity); bf16 = TPU fast path
+    use_flash: bool = False,  # Pallas per-group kernel (TPU hot path)
 ) -> jnp.ndarray:
     """[N, patch_dim] -> [N / merge**2, hidden_size] visual embeddings.
 
@@ -76,14 +77,24 @@ def vision_forward(
     fit (a full mask would be ~90k x 90k). Without it, a seg_ids-derived
     mask handles mixed-size clips (small-N eval batches).
 
-    ``score_dtype=bf16`` emits QK^T scores in bf16 (accumulation stays
-    fp32 in the MXU; softmax still fp32): halves the [groups, heads, hw,
-    hw] logits HBM traffic — 26% faster ViT measured on v5e (rel. output
+    ``use_flash`` routes the grouped path through the Pallas per-group
+    kernel (ops/pallas/vit_attention.py): fp32 scores stay in VMEM, HBM
+    never sees the [groups, heads, hw, hw] tensor — the r4-measured 0.63x
+    ceiling on this path was exactly that score traffic. Falls back to the
+    XLA paths for mixed-size clips or groups > MAX_GROUP.
+
+    ``score_dtype=bf16`` (XLA fallback fast path) emits QK^T scores in
+    bf16 (accumulation stays fp32 in the MXU; softmax still fp32): halves
+    the logits HBM traffic — 26% faster ViT measured on v5e (rel. output
     err ~1e-3, the ambient bf16 rounding scale). The XLA/CPU parity path
     keeps fp32 scores.
     """
     n = patches.shape[0]
     grouped = group_size is not None and n % group_size == 0
+    if use_flash and grouped:
+        from livecc_tpu.ops.pallas.vit_attention import MAX_GROUP
+        if group_size > MAX_GROUP:
+            use_flash = False
     seg_mask = None if grouped else (seg_ids[:, None] == seg_ids[None, :])
     h, hd = cfg.num_heads, cfg.head_dim
     x = patches.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
@@ -101,6 +112,9 @@ def vision_forward(
             qb = q.reshape(n // g, g, h, hd)
             kb = k.reshape(n // g, g, h, hd)
             vb = v.reshape(n // g, g, h, hd)
+            if use_flash:
+                from livecc_tpu.ops.pallas.vit_attention import vit_group_attention
+                return vit_group_attention(qb, kb, vb).reshape(n, h, hd)
             if score_dtype is not None:
                 return fast_block_attend(qb, kb, vb).reshape(n, h, hd)
             return mha(qb, kb, vb).reshape(n, h, hd)

@@ -260,30 +260,75 @@ class MeasuredLayerCosts:
     Produced by ``bench.py:bench_7b_slice``: fused decode/prefill loops at
     two depths of the width-exact model, differenced so every
     depth-independent term (152k-vocab head, embed, sampling, dispatch,
-    relay RTT) cancels. ``decode_remainder_ms`` is that depth-independent
-    decode term; the prefill remainder is NOT carried because the probe's
-    per-rep cache allocation + full-logits fetch contaminate it — the real
-    serving loop keeps both on device.
+    relay RTT) cancels. The depth-independent decode term is split into
+    ``lm_head_ms`` — the 152k-vocab head read, which DOES shard 1/TP under
+    the megatron vocab layout — and ``overhead_ms`` — sampling /
+    repetition-penalty over [B, vocab_local... then gathered], dispatch and
+    fused-loop glue, which does NOT shard (ADVICE r4 medium #2). The
+    prefill remainder is NOT carried because the probe's per-rep cache
+    allocation + full-logits fetch contaminate it — the real serving loop
+    keeps both on device.
     """
 
     per_layer_decode_b1_ms: float
     per_layer_decode_b8_ms: float
     per_layer_prefill256_ms: float
-    decode_remainder_ms: float     # depth-independent: lm_head+sampling+dispatch
+    lm_head_ms: float              # depth-independent, TP-shardable head read
+    overhead_ms: float             # depth-independent, does NOT shard with TP
     provenance: str
 
+    @property
+    def decode_remainder_ms(self) -> float:
+        """Total depth-independent decode term (back-compat view)."""
+        return self.lm_head_ms + self.overhead_ms
 
-# bench_7b_slice on the v5e chip, 2026-08-19, warm /tmp/tpu_cache, depths
-# (2, 4), kv_depth 4096 of an 8192 cache. Per-layer decode B=1 0.550 ms =
-# ~0.44 GB layer weights / 0.550 ms ≈ 800 GB/s — 98% of the v5e's 819 GB/s
-# HBM: the decode slice runs at bandwidth speed-of-light, so these numbers
-# transfer across chip-clock drift (they are bandwidth- not MXU-bound).
+
+# 152064-row x 3584-col bf16 head = 1.09 GB read at the v5e's 819 GB/s HBM.
+# Bandwidth-derived (not differenced out of a session), so it is the same
+# in every session row below; the session noise lands in overhead_ms.
+_LM_HEAD_BW_MS = 1.33
+
+# bench_7b_slice on the v5e chip, depths (2, 4), kv_depth 4096 of an 8192
+# cache — ONE ROW PER SESSION. The chip is time-shared and the two
+# same-day sessions below disagree by +30% on per-layer decode and 2.5x on
+# the (noise-dominated, ~2 ms signal differenced from ~57 ms walls)
+# prefill constant, so single-session constants are NOT drift-invariant
+# (ADVICE r4 medium #1). Projections should quote the band across
+# sessions; the committed point value is the conservative per-field
+# envelope (max) over all sessions.
+MEASURED_7B_WIDTH_SESSIONS: tuple[MeasuredLayerCosts, ...] = (
+    MeasuredLayerCosts(
+        per_layer_decode_b1_ms=0.550,   # ≈800 GB/s = 98% of v5e HBM
+        per_layer_decode_b8_ms=0.823,
+        per_layer_prefill256_ms=2.146,
+        lm_head_ms=_LM_HEAD_BW_MS,
+        overhead_ms=3.49 - _LM_HEAD_BW_MS,
+        provenance="7b_width_slice 2026-08-19 session A (tools/exp_7b_slice)",
+    ),
+    MeasuredLayerCosts(
+        per_layer_decode_b1_ms=0.714,
+        per_layer_decode_b8_ms=0.825,
+        per_layer_prefill256_ms=0.872,
+        lm_head_ms=_LM_HEAD_BW_MS,
+        overhead_ms=2.639 - _LM_HEAD_BW_MS,
+        provenance="7b_width_slice 2026-08-19 session B (BENCH_r04 driver run)",
+    ),
+)
+
+# Conservative envelope: per-field max across sessions. Decode per-layer
+# stays bandwidth-bound in every session (800-630 GB/s effective), but the
+# absolute number carries the time-shared chip's session noise — use
+# serving_latency_band for an honest range.
 MEASURED_7B_WIDTH = MeasuredLayerCosts(
-    per_layer_decode_b1_ms=0.550,
-    per_layer_decode_b8_ms=0.823,
-    per_layer_prefill256_ms=2.146,
-    decode_remainder_ms=3.49,
-    provenance="BENCH r4 7b_width_slice 2026-08-19 (two-depth difference)",
+    per_layer_decode_b1_ms=max(s.per_layer_decode_b1_ms for s in MEASURED_7B_WIDTH_SESSIONS),
+    per_layer_decode_b8_ms=max(s.per_layer_decode_b8_ms for s in MEASURED_7B_WIDTH_SESSIONS),
+    per_layer_prefill256_ms=max(s.per_layer_prefill256_ms for s in MEASURED_7B_WIDTH_SESSIONS),
+    lm_head_ms=_LM_HEAD_BW_MS,
+    overhead_ms=max(s.overhead_ms for s in MEASURED_7B_WIDTH_SESSIONS),
+    provenance=(
+        f"envelope (per-field max) of {len(MEASURED_7B_WIDTH_SESSIONS)} "
+        "real-chip sessions, 2026-08-19"
+    ),
 )
 
 
@@ -323,23 +368,46 @@ def serving_latency(
 ) -> LatencyProjection:
     """Project full-depth serving latency from measured per-layer costs.
 
-    Layers, the vocab head, and the decode remainder all shard 1/TP
-    (megatron layout: ``parallel.sharding.param_pspecs``). TP adds two
-    all-reduces per layer; at decode they move [B, 1, hidden] over ICI
-    (~7 KB for the 7B at B=1) — sub-10 µs each, carried explicitly so the
-    model is falsifiable rather than silently absorbed.
+    Layers and the vocab head shard 1/TP (megatron layout:
+    ``parallel.sharding.param_pspecs``); ``overhead_ms`` (sampling,
+    dispatch, fused-loop glue) does NOT shard and is carried at full cost
+    (ADVICE r4 medium #2). TP adds two all-reduces per layer; at decode
+    they move [B, 1, hidden] over ICI (~7 KB for the 7B at B=1) — sub-10 µs
+    each. NOTE: the ICI term is an engineering estimate, not a
+    measurement — no virtual mesh can validate it; it is carried explicitly
+    so the model is falsifiable rather than silently absorbed.
     """
     layers = cfg.text.num_hidden_layers
     per_layer = (costs.per_layer_decode_b8_ms if batch >= 8
                  else costs.per_layer_decode_b1_ms)
     comm = (2 * layers * ici_allreduce_ms) if n_model > 1 else 0.0
-    decode = (costs.decode_remainder_ms + layers * per_layer) / n_model + comm
+    decode = ((costs.lm_head_ms + layers * per_layer) / n_model
+              + costs.overhead_ms + comm)
     prefill = layers * costs.per_layer_prefill256_ms / n_model + comm
     return LatencyProjection(
         cfg_name=cfg.name, n_model=n_model,
         decode_ms_per_token=decode, prefill_chunk_ms=prefill,
         decode_steps=decode_steps, costs=costs,
     )
+
+
+def serving_latency_band(
+    cfg: ModelConfig,
+    *,
+    n_model: int,
+    batch: int = 1,
+    decode_steps: int = 16,
+) -> tuple[LatencyProjection, LatencyProjection]:
+    """(fastest, slowest) projection across every measured session —
+    the honest uncertainty band for the time-shared chip's session noise
+    (ADVICE r4 medium #1)."""
+    projs = [
+        serving_latency(cfg, s, n_model=n_model, batch=batch,
+                        decode_steps=decode_steps)
+        for s in MEASURED_7B_WIDTH_SESSIONS
+    ]
+    projs.sort(key=lambda p: p.chunk_ms)
+    return projs[0], projs[-1]
 
 
 # ---------------------------------------------------------------------------

@@ -146,32 +146,60 @@ def test_streaming_horizon_matches_observed_exhaustion():
 
 def test_7b_latency_projection_tp4_inside_budget():
     """Full-depth 7B under TP=4 from the MEASURED width slice: the per-chunk
-    wall (prefill + 16 decode tokens) must sit far inside the 2 s budget."""
-    from livecc_tpu.parallel.memory import serving_latency
+    wall (prefill + 16 decode tokens) must sit far inside the 2 s budget —
+    for the conservative envelope AND across the whole session band."""
+    from livecc_tpu.parallel.memory import serving_latency, serving_latency_band
 
-    proj = serving_latency(ModelConfig.qwen2_vl_7b(), n_model=4)
-    # decode: (3.49 + 28*0.550)/4 + 56*0.005 = 4.99 ms/token
-    assert 3.0 < proj.decode_ms_per_token < 8.0, proj.describe()
-    # prefill 256-token chunk: 28*2.146/4 + 0.28 = 15.3 ms
-    assert 8.0 < proj.prefill_chunk_ms < 30.0, proj.describe()
+    cfg = ModelConfig.qwen2_vl_7b()
+    proj = serving_latency(cfg, n_model=4)
+    # envelope: (1.33 + 28*0.714)/4 + 2.16 overhead + 56*0.005 = 7.8 ms/token
+    assert 3.0 < proj.decode_ms_per_token < 9.0, proj.describe()
+    assert 5.0 < proj.prefill_chunk_ms < 30.0, proj.describe()
     assert proj.chunk_ms < 200.0, proj.describe()  # 10x inside 2 s
+    fast, slow = serving_latency_band(cfg, n_model=4)
+    assert fast.chunk_ms <= slow.chunk_ms
+    assert slow.chunk_ms < 200.0, slow.describe()
+    # the envelope point value must not be more optimistic than the band's
+    # slowest session on decode (it is a per-field max)
+    assert proj.decode_ms_per_token >= slow.decode_ms_per_token - 1e-9
 
 
 def test_7b_latency_projection_reconstructs_slice():
     """The projection at TP=1 and the slice's own depths must agree: the
-    model is (remainder + L*per_layer), so plugging the slice depths back
-    in reproduces the fused-loop measurements the costs came from."""
+    model is (lm_head + overhead + L*per_layer), so plugging the slice
+    depths back in reproduces the fused-loop sums the costs came from.
+    Expected values are COMPUTED from the committed constants (not
+    duplicated literals — ADVICE r4 low #4), so this asserts the algebraic
+    identity that makes the projection falsifiable."""
     import dataclasses as dc
 
     from livecc_tpu.parallel.memory import MEASURED_7B_WIDTH, serving_latency
 
     cfg = ModelConfig.qwen2_vl_7b()
-    for depth, measured_ms in ((2, 4.59), (4, 5.689)):
+    c = MEASURED_7B_WIDTH
+    for depth in (2, 4):
         sliced = dc.replace(cfg, text=dc.replace(cfg.text, num_hidden_layers=depth))
         proj = serving_latency(sliced, n_model=1)
-        assert abs(proj.decode_ms_per_token - measured_ms) < 0.02
+        expect = c.lm_head_ms + c.overhead_ms + depth * c.per_layer_decode_b1_ms
+        assert abs(proj.decode_ms_per_token - expect) < 1e-9
     # B=8 per-layer path selected by batch
     p8 = serving_latency(cfg, n_model=4, batch=8)
     p1 = serving_latency(cfg, n_model=4, batch=1)
     assert p8.decode_ms_per_token > p1.decode_ms_per_token
     assert MEASURED_7B_WIDTH.provenance in p8.describe()
+
+
+def test_7b_latency_overhead_does_not_shard():
+    """The unsharded overhead term must survive TP division: doubling TP
+    must NOT halve decode latency (ADVICE r4 medium #2 — the old model
+    divided sampling/dispatch by TP and was optimistic by ~2 ms/token)."""
+    from livecc_tpu.parallel.memory import MEASURED_7B_WIDTH, serving_latency
+
+    cfg = ModelConfig.qwen2_vl_7b()
+    p2 = serving_latency(cfg, n_model=2, ici_allreduce_ms=0.0)
+    p4 = serving_latency(cfg, n_model=4, ici_allreduce_ms=0.0)
+    shardable = (MEASURED_7B_WIDTH.lm_head_ms
+                 + cfg.text.num_hidden_layers * MEASURED_7B_WIDTH.per_layer_decode_b1_ms)
+    assert abs((p2.decode_ms_per_token - p4.decode_ms_per_token)
+               - (shardable / 2 - shardable / 4)) < 1e-9
+    assert p4.decode_ms_per_token > shardable / 4  # overhead floor present
