@@ -24,14 +24,24 @@ from jax import lax
 IGNORE_INDEX = -100
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size",))
+@functools.partial(jax.jit, static_argnames=("chunk_size", "logit_dtype"))
 def chunked_cross_entropy(
     hidden: jnp.ndarray,        # [B, S, H] final hidden states (pre-lm_head)
     lm_kernel: jnp.ndarray,     # [H, V]
     labels: jnp.ndarray,        # [B, S] int32, -100 = ignore
     chunk_size: int = 1024,
+    logit_dtype=None,           # None = fp32 logits (parity); bf16 = TPU fast path
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (summed loss fp32, count of supervised tokens)."""
+    """Returns (summed loss fp32, count of supervised tokens).
+
+    ``logit_dtype=bf16`` rounds the [chunk, V] logit rows to bf16 at the
+    MXU output (accumulation inside the matmul stays fp32; logsumexp and
+    the gold gather upcast back to fp32): halves the dominant HBM term —
+    the fp32 vocab-row round trip measured at 0.57x the calibrated MXU
+    ceiling in r4 (PERF.md MFU table). Loss drift is the bf16 rounding of
+    an O(10) logit (~0.04 absolute on logz), bounded in
+    tests/test_train_step.py; fp32 remains the CPU/parity default.
+    """
     b, s, h = hidden.shape
     pad = -s % chunk_size
     if pad:
@@ -41,13 +51,15 @@ def chunked_cross_entropy(
     hidden = hidden.reshape(b, n_chunks, chunk_size, h).swapaxes(0, 1)
     labels = labels.reshape(b, n_chunks, chunk_size).swapaxes(0, 1)
 
+    out_dtype = jnp.float32 if logit_dtype is None else logit_dtype
+
     @jax.checkpoint
     def chunk_loss(hid, lab):
-        logits = jnp.einsum("bsh,hv->bsv", hid, lm_kernel, preferred_element_type=jnp.float32)
+        logits = jnp.einsum("bsh,hv->bsv", hid, lm_kernel, preferred_element_type=out_dtype)
         mask = lab != IGNORE_INDEX
         safe = jnp.where(mask, lab, 0)
-        logz = jax.nn.logsumexp(logits, axis=-1)
-        gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0].astype(jnp.float32)
         return jnp.sum(jnp.where(mask, logz - gold, 0.0)), jnp.sum(mask)
 
     def body(carry, xs):
@@ -67,6 +79,8 @@ def chunked_cross_entropy(
     return loss, count
 
 
-def cross_entropy_mean(hidden, lm_kernel, labels, chunk_size: int = 1024) -> jnp.ndarray:
-    loss, count = chunked_cross_entropy(hidden, lm_kernel, labels, chunk_size=chunk_size)
+def cross_entropy_mean(hidden, lm_kernel, labels, chunk_size: int = 1024,
+                       logit_dtype=None) -> jnp.ndarray:
+    loss, count = chunked_cross_entropy(hidden, lm_kernel, labels,
+                                        chunk_size=chunk_size, logit_dtype=logit_dtype)
     return loss / jnp.maximum(count, 1)

@@ -29,6 +29,13 @@ from livecc_tpu.ops.chunked_ce import chunked_cross_entropy
 
 Params = dict[str, Any]
 
+# CE logit-row dtype on the TPU path: "bf16" (halved vocab-row HBM traffic,
+# the default) or "f32". Env override for A/B experiments, mirroring
+# TRAIN_ATTN / VIT_ATTN.
+import os as _os
+
+_CE_LOGITS_IMPL = _os.environ.get("CE_LOGITS", "bf16")
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
@@ -163,6 +170,11 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
                         attention_mask=mask, compute_logits=False,
                         remat=tcfg.remat, use_flash=use_flash,
                         seq_shard=tcfg.seq_shard)
+    # bf16 logit rows on the TPU hot path (fp32 matmul accumulation; the
+    # CE reductions upcast) — halves the r4-measured CE HBM bottleneck.
+    # CE_LOGITS=f32 A/Bs back to full-precision rows.
+    ce_logit_dtype = (jnp.bfloat16 if use_flash and _CE_LOGITS_IMPL == "bf16"
+                      else None)
     if cfg.text.tie_word_embeddings:
         kernel = params["text"]["embed"]["weight"].T
     else:
@@ -183,10 +195,13 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
         loss, count = chunked_cross_entropy(
             flat_h[idx][None], kernel, lab[None],
             chunk_size=min(tcfg.ce_chunk_size, kb),
+            logit_dtype=ce_logit_dtype,
         )
         dropped = jnp.maximum(n_sup - kb, 0)
     else:
-        loss, count = chunked_cross_entropy(hidden, kernel, shifted, chunk_size=tcfg.ce_chunk_size)
+        loss, count = chunked_cross_entropy(hidden, kernel, shifted,
+                                            chunk_size=tcfg.ce_chunk_size,
+                                            logit_dtype=ce_logit_dtype)
         dropped = jnp.int32(0)
     return loss, (count, dropped)
 

@@ -186,3 +186,35 @@ def test_sequence_parallel_matches_unsharded():
     np.testing.assert_allclose(loss_sp, loss_tp, rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p_tp), jax.tree_util.tree_leaves(p_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_ce_bf16_logit_rows_bounded_drift():
+    """The TPU fast path rounds CE logit rows to bf16 (ops/chunked_ce.py,
+    CE_LOGITS): loss and hidden-state gradients must track the fp32 path to
+    bf16 rounding scale — this bounds the drift the bandwidth win costs."""
+    from livecc_tpu.ops.chunked_ce import chunked_cross_entropy
+
+    rng = np.random.RandomState(0)
+    b, s, h, v = 2, 48, 64, 512
+    hidden = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    kernel = jnp.asarray((rng.randn(h, v) / np.sqrt(h)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, v, size=(b, s)).astype(np.int32))
+    labels = labels.at[:, :8].set(-100)
+
+    def mean_loss(hid, dtype):
+        loss, count = chunked_cross_entropy(hid, kernel, labels, chunk_size=16,
+                                            logit_dtype=dtype)
+        return loss / jnp.maximum(count, 1)
+
+    l32, g32 = jax.value_and_grad(mean_loss)(hidden, None)
+    l16, g16 = jax.value_and_grad(mean_loss)(hidden, jnp.bfloat16)
+    # bf16 rounds an O(|logit|) value with ~2^-8 relative error; the mean
+    # over hundreds of supervised tokens keeps the loss within ~1e-2.
+    assert abs(float(l16) - float(l32)) < 2e-2 * max(1.0, float(l32))
+    rel = float(jnp.linalg.norm(g16 - g32) / jnp.linalg.norm(g32))
+    assert rel < 5e-2, rel
+    # count identical (masking logic unaffected by dtype)
+    _, c32 = chunked_cross_entropy(hidden, kernel, labels, chunk_size=16)
+    _, c16 = chunked_cross_entropy(hidden, kernel, labels, chunk_size=16,
+                                   logit_dtype=jnp.bfloat16)
+    assert int(c32) == int(c16)

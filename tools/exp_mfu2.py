@@ -97,7 +97,10 @@ def main():
 
     calibrate()
 
-    if "vit" in probes:
+    # vit: XLA bf16-scores path; vit_flash: Pallas per-group kernel (r5)
+    for vit_probe in (p for p in probes if p in ("vit", "vit_flash")):
+        flash = vit_probe == "vit_flash"
+        score_dtype = None if flash else jnp.bfloat16
         vparams = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)["visual"]
         vis = prepare_vision_inputs(
             cfg, rng.randn(n_patches, cfg.vision.patch_dim).astype(np.float32), [grid])
@@ -107,11 +110,13 @@ def main():
             out = 0.0
             for _ in range(ACCUM):
                 out = out + vision_forward(p, cfg.vision, patches, cos, sin, seg,
-                                           group_size=grid[1] * grid[2]).sum()
+                                           group_size=grid[1] * grid[2],
+                                           score_dtype=score_dtype,
+                                           use_flash=flash).sum()
             return out
 
         args = (vparams, vis.patches, vis.cos, vis.sin, vis.seg_ids)
-        measure("vit_x4", lambda: np.asarray(vit(*args)))
+        measure(f"{vit_probe}_x4", lambda: np.asarray(vit(*args)))
         del vparams, vis, args, vit
         gc.collect()
         calibrate()
@@ -148,7 +153,9 @@ def main():
         gc.collect()
         calibrate()
 
-    if "ce" in probes:
+    # ce: fp32 logit rows; ce_bf16: bf16 rows (r5 bandwidth fix, CE_LOGITS)
+    for ce_probe in (p for p in probes if p in ("ce", "ce_bf16")):
+        logit_dtype = jnp.bfloat16 if ce_probe == "ce_bf16" else None
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)["text"]
         kb = 5120
         hid = jnp.asarray(rng.randn(1, kb, cfg.text.hidden_size), jnp.bfloat16)
@@ -157,7 +164,8 @@ def main():
                   else params["embed"]["weight"].T)
 
         def ce_loss(kernel, hid, lab):
-            loss, _ = chunked_cross_entropy(hid, kernel, lab, chunk_size=1024)
+            loss, _ = chunked_cross_entropy(hid, kernel, lab, chunk_size=1024,
+                                            logit_dtype=logit_dtype)
             return loss
 
         @jax.jit
@@ -169,7 +177,7 @@ def main():
                 gn = gn + jnp.sum(g[0].astype(jnp.float32) ** 2)
             return total + gn * 1e-12
 
-        measure("ce_x4", lambda: np.asarray(ce(kernel, hid, lab)))
+        measure(f"{ce_probe}_x4", lambda: np.asarray(ce(kernel, hid, lab)))
         del params, kernel, hid, lab, ce
         gc.collect()
         calibrate()

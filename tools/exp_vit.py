@@ -49,6 +49,12 @@ def vit_variant(params, cfg, patches, cos, sin, group_size, variant: str):
     def attend(q, k, v):
         if variant == "noattn":
             return v
+        if variant == "flash":
+            from livecc_tpu.ops.pallas.vit_attention import vit_group_attention
+            qb = q.reshape(n // g, g, h, hd)
+            kb = k.reshape(n // g, g, h, hd)
+            vb = v.reshape(n // g, g, h, hd)
+            return vit_group_attention(qb, kb, vb).reshape(n, h, hd)
         qb = q.reshape(n // g, g, h, hd)
         kb = k.reshape(n // g, g, h, hd)
         vb = v.reshape(n // g, g, h, hd)
@@ -100,7 +106,7 @@ def main():
         cfg, rng.randn(n_patches, cfg.vision.patch_dim).astype(np.float32), [grid])
 
     ref_out = None
-    for variant in ["base", "pad128", "bf16probs", "noattn"]:
+    for variant in ["base", "bf16probs", "flash", "noattn"]:
         if variant == "base":
             fwd = jax.jit(lambda p, pa, c, s: sum(
                 vision_forward(p, cfg.vision, pa, c, s, vis.seg_ids,
