@@ -83,3 +83,40 @@ MIDSIZE_TOKEN_IDS = dict(
     image_token_id=151655, video_token_id=151656,
     vision_start_token_id=151652, vision_end_token_id=151653,
 )
+
+MIDSIZE_PATCH_DIM = 3 * 2 * 14 * 14  # in_channels * temporal_patch * patch^2
+
+
+def make_midsize_inputs(seed: int = 0) -> dict[str, np.ndarray]:
+    """The golden generator's exact input draws, keyed by one seed.
+
+    Shared by tools/gen_hf_midsize_goldens.py (torch side) and
+    tools/search_midsize_seed.py (JAX side): near-tie logit positions are a
+    statistical property of any random inputs (top-2 gaps of ~152k
+    near-Gaussian logits are Exp-distributed with mean ~sigma/4.9, so a few
+    percent of positions land under any fixed argmax threshold). The seed
+    is therefore SEARCHED on the JAX side until every pinned position
+    clears the threshold with margin to spare, then the torch golden is
+    generated once from the winning seed (recorded in the golden as
+    ``input_seed``).
+    """
+    rng = np.random.RandomState(seed)
+    vs, ve, vid = (MIDSIZE_TOKEN_IDS["vision_start_token_id"],
+                   MIDSIZE_TOKEN_IDS["vision_end_token_id"],
+                   MIDSIZE_TOKEN_IDS["video_token_id"])
+    out: dict[str, np.ndarray] = {}
+    out["text_ids"] = rng.randint(8, 10000, size=(1, 24)).astype(np.int64)
+    grid = np.array([[2, 8, 8]])
+    n_patches = 128
+    out["mm_grid"] = grid
+    out["mm_patches"] = rng.randn(n_patches, MIDSIZE_PATCH_DIM).astype(np.float32)
+    out["mm_ids"] = np.concatenate([
+        rng.randint(8, 10000, size=3), [vs], [vid] * (n_patches // 4), [ve],
+        rng.randint(8, 10000, size=4),
+    ])[None].astype(np.int64)
+    out["cont_ids"] = rng.randint(8, 10000, size=(1, 8)).astype(np.int64)
+    vgrid = np.array([[2, 4, 4], [1, 2, 6]])
+    n = int((vgrid[:, 0] * vgrid[:, 1] * vgrid[:, 2]).sum())
+    out["v_grid"] = vgrid
+    out["v_patches"] = rng.randn(n, MIDSIZE_PATCH_DIM).astype(np.float32)
+    return out

@@ -85,9 +85,16 @@ def check_logits(golden, prefix: str, logits: np.ndarray):
     am = logits.argmax(-1)
     ref_am = golden[f"{prefix}_argmax"]
     decided = golden[f"{prefix}_margin"] > ARGMAX_EPS
-    # video-span positions sit near ties (uniform-recipe weights), so not
-    # every position is decidable — but most must be, or the pin is vacuous
-    assert decided.mean() > 0.6, "golden margins degenerate — regenerate"
+    # The golden's input seed is SEARCHED (tools/search_midsize_seed.py,
+    # recorded as input_seed) so that EVERY position — video spans
+    # included — clears the margin threshold: near-ties are a statistical
+    # property of random inputs, and an undecidable position is a hole in
+    # the width-parity claim exactly where the product lives (VERDICT r4
+    # next #8). >= 0.99 so the pin can never silently regress to the ~85%
+    # coverage the unsearched seed gave.
+    assert decided.mean() >= 0.99, (
+        f"{prefix}: only {decided.mean():.0%} of positions decidable — "
+        "regenerate with tools/search_midsize_seed.py + gen_hf_midsize_goldens.py")
     np.testing.assert_array_equal(am[decided], ref_am[decided])
 
 

@@ -32,12 +32,21 @@ from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from livecc_tpu.utils.param_recipe import (  # noqa: E402
-    MIDSIZE_TEXT, MIDSIZE_TOKEN_IDS, MIDSIZE_VISION, RECIPE_VERSION, recipe_tensor,
+    MIDSIZE_TEXT, MIDSIZE_TOKEN_IDS, MIDSIZE_VISION, RECIPE_VERSION,
+    make_midsize_inputs, recipe_tensor,
 )
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens", "hf_midsize.npz")
 
 PATCH_DIM = 3 * 2 * 14 * 14  # in_channels * temporal_patch * patch^2
+
+# Input seed: SEARCHED (tools/search_midsize_seed.py) so every pinned
+# position's top-1/top-2 margin clears ARGMAX_EPS — near-ties are a
+# statistical property of any random inputs, so the seed is selected, not
+# defaulted. Seed 22: min margin 9.9e-3 over all 73 pinned positions
+# (text/mm/cont), ~2x the 5e-3 threshold; ~93% of random seeds leave at
+# least one position under it.
+INPUT_SEED = int(os.environ.get("MIDSIZE_SEED", 22))
 
 
 def logits_summary(prefix: str, logits: torch.Tensor) -> dict[str, np.ndarray]:
@@ -79,6 +88,7 @@ def main():
 
     out: dict[str, np.ndarray] = {
         "recipe_version": np.int64(RECIPE_VERSION),
+        "input_seed": np.int64(INPUT_SEED),
         "manifest_names": np.array(sorted(manifest), dtype=np.str_),
         "manifest_shapes": np.array(
             [list(manifest[k]) + [0] * (5 - len(manifest[k])) for k in sorted(manifest)],
@@ -86,12 +96,10 @@ def main():
         ),
     }
 
-    rng = np.random.RandomState(0)
-    vs, ve, vid = (cfg.vision_start_token_id, cfg.vision_end_token_id,
-                   cfg.video_token_id)
+    inp = make_midsize_inputs(INPUT_SEED)
 
     # 1. text-only logits (24 tokens)
-    text_ids = rng.randint(8, 10000, size=(1, 24)).astype(np.int64)
+    text_ids = inp["text_ids"]
     t0 = time.time()
     with torch.no_grad():
         tlog = model(input_ids=torch.from_numpy(text_ids)).logits
@@ -100,13 +108,9 @@ def main():
     print(f"text forward {time.time()-t0:.0f}s", flush=True)
 
     # 2. multimodal: one 2-frame clip, grid (2, 8, 8) -> 128 patches -> 32 tokens
-    grid = np.array([[2, 8, 8]])
-    n_patches = 128
-    patches = rng.randn(n_patches, PATCH_DIM).astype(np.float32)
-    ids = np.concatenate([
-        rng.randint(8, 10000, size=3), [vs], [vid] * (n_patches // 4), [ve],
-        rng.randint(8, 10000, size=4),
-    ])[None].astype(np.int64)
+    grid = inp["mm_grid"]
+    patches = inp["mm_patches"]
+    ids = inp["mm_ids"]
     t0 = time.time()
     with torch.no_grad():
         mm = model(input_ids=torch.from_numpy(ids),
@@ -120,7 +124,7 @@ def main():
     print(f"mm forward {time.time()-t0:.0f}s", flush=True)
 
     # 3. streaming continuation: chunk 2 (8 text tokens) against chunk 1's KV
-    cont = rng.randint(8, 10000, size=(1, 8)).astype(np.int64)
+    cont = inp["cont_ids"]
     t0 = time.time()
     with torch.no_grad():
         step2 = model(input_ids=torch.from_numpy(cont),
@@ -131,9 +135,8 @@ def main():
     print(f"continuation forward {time.time()-t0:.0f}s", flush=True)
 
     # 4. vision tower alone, two clips with distinct grids
-    vgrid = np.array([[2, 4, 4], [1, 2, 6]])
-    n = int((vgrid[:, 0] * vgrid[:, 1] * vgrid[:, 2]).sum())
-    vpatches = rng.randn(n, PATCH_DIM).astype(np.float32)
+    vgrid = inp["v_grid"]
+    vpatches = inp["v_patches"]
     t0 = time.time()
     with torch.no_grad():
         vout = model.model.visual(torch.from_numpy(vpatches),
