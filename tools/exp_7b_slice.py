@@ -119,6 +119,13 @@ if __name__ == "__main__":
     cfg = width7b(depth)
     params = jax.block_until_ready(
         init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+    if os.environ.get("EXP_QUANT", "0") == "1":
+        # int8 weight-only serving variant (ops/quant.py): halves the
+        # per-layer decode weight read — the lever behind the 7B TP=2 plan
+        from livecc_tpu.ops.quant import quantize_model_params
+
+        params = jax.block_until_ready(quantize_model_params(params))
+        print(json.dumps({"probe": "quantized_weights", "mode": "int8w"}))
     steps = int(os.environ.get("EXP_STEPS", 24))
     for b in (1, 8):
         d = time_decode(params, cfg, 8192, b, steps)
