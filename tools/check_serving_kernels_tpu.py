@@ -109,6 +109,19 @@ def run_checks(seed: int = 0) -> dict[str, float]:
     ref = _reference(q_pre, kl, vl, jnp.int32(256), jnp.int32(256 + Sq))
     record("prefill_bf16_4d_scalar", out, ref, TOL_BF16)
 
+    # --- ViT per-group attention kernel (r5) vs the XLA reference at a
+    # serving-like shape (head_dim 80, non-128 lanes)
+    from livecc_tpu.ops.attention import mha
+    from livecc_tpu.ops.pallas.vit_attention import vit_group_attention
+
+    ngr, g, hv, dv = 4, 880, 16, 80
+    qv = jnp.asarray(rng.randn(ngr, g, hv, dv).astype(np.float32), jnp.bfloat16)
+    kv_ = jnp.asarray(rng.randn(ngr, g, hv, dv).astype(np.float32), jnp.bfloat16)
+    vv = jnp.asarray(rng.randn(ngr, g, hv, dv).astype(np.float32), jnp.bfloat16)
+    out = vit_group_attention(qv, kv_, vv)
+    ref = mha(qv, kv_, vv).astype(jnp.float32)
+    record("vit_group_attn_g880_d80", out, ref, TOL_BF16)
+
     return errs
 
 
