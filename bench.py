@@ -399,6 +399,46 @@ def bench_7b_slice() -> dict:
     }
 
 
+def bench_7b_train_slice() -> dict:
+    """Depth-differenced TRAINING cost at TRUE 7B width (VERDICT r4 #7).
+
+    The reference's training proposition is the 7B (scripts/pt_local.sh:5);
+    this measures the real fused (fwd + bwd + AdamW) per-layer cost at
+    width — seq 8192, remat, bf16, chunked bf16-logit CE — as a two-depth
+    difference so every depth-independent term (embed, 152k-vocab CE,
+    dispatch) cancels. Feeds parallel/memory.py:MEASURED_7B_TRAIN /
+    training_latency (the DP x TP projection). NOTE: the frozen embed/head
+    ride as jit ARGUMENTS in the step (closure-captured, 2.18 GB of inline
+    constants break the relay's remote_compile).
+    """
+    from livecc_tpu.utils.calibrate import calibrate_matmul
+    from tools.exp_7b_train_slice import flop_model_per_layer, measure_depth
+
+    from livecc_tpu.core.config import ModelConfig
+
+    cal = calibrate_matmul()["achieved_tflops"]
+    lo, hi = measure_depth(1), measure_depth(3)
+    per_layer_s = (hi["median_s"] - lo["median_s"]) / 2
+    seq = int(os.environ.get("EXP_SEQ", 8192))
+    fl = flop_model_per_layer(ModelConfig.qwen2_vl_7b().text, seq)
+    return {
+        "metric": "7b_width_train_per_layer",
+        "value": round(per_layer_s * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": 0.0,
+        "diagnostics": {
+            "cal_tflops": cal,
+            "depths": [1, 3],
+            "step_s": {1: lo["median_s"], 3: hi["median_s"]},
+            "seq": seq,
+            "remainder_ms": round((lo["median_s"] - per_layer_s) * 1e3, 1),
+            "implied_tflops": round(fl / per_layer_s / 1e12, 1),
+            "vs_calibrated": round(fl / per_layer_s / 1e12 / cal, 3),
+            "proj_28layer_step_s_tp1": round(28 * per_layer_s, 3),
+        },
+    }
+
+
 def main() -> None:
     """The LAST stdout line is the headline metric (driver parses last)."""
     import sys
@@ -410,6 +450,8 @@ def main() -> None:
     on_tpu = __import__("jax").default_backend() == "tpu"
     if os.environ.get("BENCH_7B", "1" if on_tpu else "0") != "0":
         results.append(bench_7b_slice())
+    if os.environ.get("BENCH_7B_TRAIN", "1" if on_tpu else "0") != "0":
+        results.append(bench_7b_train_slice())
     if os.environ.get("BENCH_SERVE", "1") != "0":
         results.append(bench_serving())        # headline stays last
     for r in results:

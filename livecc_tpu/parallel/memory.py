@@ -411,6 +411,115 @@ def serving_latency_band(
 
 
 # ---------------------------------------------------------------------------
+# Training latency projection from real-chip measurement — VERDICT r4 next #7
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MeasuredTrainCosts:
+    """Per-layer TRAIN-step cost measured at true 7B width on the real chip.
+
+    Produced by ``tools/exp_7b_train_slice.py``: fused (fwd + bwd + AdamW)
+    steps at two text depths of the width-exact model (hidden 3584, 28q/4kv,
+    intermediate 18944), seq 8192, remat on, bf16 params, chunked
+    bf16-logit CE — differenced so every depth-independent term (embed,
+    152k-vocab CE, dispatch, relay RTT) cancels. ``remainder_ms`` is the
+    depth-independent residual (d_lo wall − d_lo·per_layer): dominated by
+    the 152k-vocab chunked CE fwd+bwd, which DOES shard under the megatron
+    vocab layout, plus dispatch/opt glue, which does not. The split was not
+    measured, so projections carry the remainder UNSHARDED (conservative —
+    the same discipline as MeasuredLayerCosts.overhead_ms).
+    """
+
+    per_layer_step_ms: float       # fwd+bwd+AdamW, one decoder layer
+    remainder_ms: float            # depth-independent (CE + embed + glue)
+    seq: int                       # tokens per step the costs were timed at
+    measured_tflops: float         # implied by the matmul-only FLOP model
+    vs_calibrated: float           # against the same-session matmul ceiling
+    provenance: str
+
+
+# tools/exp_7b_train_slice.py on the v5e chip, depths (1, 3), seq 8192,
+# sup 4096, calibration 109.5 TF/s. The implied per-layer compute runs at
+# 1.064x the matmul-only FLOP model's ceiling (the model excludes the remat
+# recompute tax, so >1.0 means the step is AT the chip's delivered matmul
+# rate). Single session so far — treat absolute ms with the same
+# time-shared-chip caution as MEASURED_7B_WIDTH (sessions band there
+# disagreed by up to 30%); the r5 run is the only one where the frozen
+# embed/head ride as jit arguments (closure-captured they break the relay).
+MEASURED_7B_TRAIN = MeasuredTrainCosts(
+    per_layer_step_ms=123.1,
+    remainder_ms=319.4 - 123.1,    # d1 wall − 1·per_layer
+    seq=8192,
+    measured_tflops=116.5,
+    vs_calibrated=1.064,
+    provenance="7b_train_slice 2026-08-19 (tools/exp_7b_train_slice, cal 109.5 TF/s)",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainLatencyProjection:
+    """Measurement-derived full-depth train-step latency under DP x TP."""
+
+    cfg_name: str
+    n_data: int
+    n_model: int
+    step_s: float                  # one optimizer step, all DP replicas
+    tokens_per_step: int           # global batch tokens (n_data x seq)
+    comm_s: float                  # labeled ICI estimate inside step_s
+    costs: MeasuredTrainCosts
+
+    @property
+    def tokens_per_s(self) -> float:
+        return self.tokens_per_step / self.step_s
+
+    def describe(self) -> str:
+        return (
+            f"{self.cfg_name} train DP={self.n_data} TP={self.n_model}: "
+            f"step {self.step_s:.2f} s, {self.tokens_per_s:,.0f} tok/s "
+            f"(comm est {self.comm_s * 1e3:.0f} ms) [{self.costs.provenance}]"
+        )
+
+
+def training_latency(
+    cfg: ModelConfig,
+    costs: MeasuredTrainCosts = MEASURED_7B_TRAIN,
+    *,
+    n_data: int = 1,
+    n_model: int = 1,
+    trainable_bytes: float = 6.5e9 * 2,   # bf16 grads of the unfrozen 7B LLM
+    ici_algo_gbps: float = 90.0,
+) -> TrainLatencyProjection:
+    """Project the full-depth train step from the measured per-layer cost.
+
+    Per-layer compute shards 1/TP (megatron: matmuls by columns/rows,
+    attention by heads); the depth-independent remainder is carried at
+    FULL cost even though its CE bulk would shard (unmeasured split —
+    conservative). Comm terms are ENGINEERING ESTIMATES, labeled as such
+    exactly like serving_latency's ICI term: TP adds 4 all-reduces per
+    layer on [seq, hidden] bf16 activations (2 fwd + 2 bwd); ZeRO-2 DP
+    adds one grad reduce-scatter of the trainable bf16 grads per step.
+    ``ici_algo_gbps`` is the assumed all-reduce algorithm bandwidth.
+    Valid at the measured seq only (attention is seq-quadratic).
+    """
+    layers = cfg.text.num_hidden_layers
+    compute_s = (costs.remainder_ms + layers * costs.per_layer_step_ms / n_model) / 1e3
+    comm_s = 0.0
+    if n_model > 1:
+        ar_bytes = costs.seq * cfg.text.hidden_size * 2
+        ar_s = 2 * (n_model - 1) / n_model * ar_bytes / (ici_algo_gbps * 1e9)
+        comm_s += 4 * layers * ar_s
+    if n_data > 1:
+        rs_s = (n_data - 1) / n_data * (trainable_bytes / n_model) / (ici_algo_gbps * 1e9)
+        comm_s += rs_s
+    return TrainLatencyProjection(
+        cfg_name=cfg.name, n_data=n_data, n_model=n_model,
+        step_s=compute_s + comm_s,
+        tokens_per_step=n_data * costs.seq,
+        comm_s=comm_s, costs=costs,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming session horizon — VERDICT r2 weak #2
 # ---------------------------------------------------------------------------
 

@@ -203,3 +203,50 @@ def test_7b_latency_overhead_does_not_shard():
     assert abs((p2.decode_ms_per_token - p4.decode_ms_per_token)
                - (shardable / 2 - shardable / 4)) < 1e-9
     assert p4.decode_ms_per_token > shardable / 4  # overhead floor present
+
+
+def test_7b_training_latency_reconstructs_slice():
+    """TP=1 DP=1 projection is (remainder + L*per_layer): plugging the
+    slice depths back in must reproduce the fused-step walls the constants
+    were differenced from (expected values COMPUTED from the committed
+    constants — the ADVICE r4 low #4 discipline)."""
+    import dataclasses as dc
+
+    from livecc_tpu.parallel.memory import MEASURED_7B_TRAIN, training_latency
+
+    cfg = ModelConfig.qwen2_vl_7b()
+    c = MEASURED_7B_TRAIN
+    for depth in (1, 3):
+        sliced = dc.replace(cfg, text=dc.replace(cfg.text, num_hidden_layers=depth))
+        proj = training_latency(sliced)
+        expect_s = (c.remainder_ms + depth * c.per_layer_step_ms) / 1e3
+        assert abs(proj.step_s - expect_s) < 1e-9, proj.describe()
+        assert proj.comm_s == 0.0
+    full = training_latency(cfg)
+    assert full.tokens_per_step == c.seq
+    assert c.provenance in full.describe()
+    # the slice ran AT the calibrated matmul ceiling (>= 1.0: the FLOP
+    # model excludes the remat recompute tax)
+    assert c.vs_calibrated >= 1.0
+
+
+def test_7b_training_latency_tp_dp_shape():
+    """TP shards per-layer compute but NOT the remainder; comm terms are
+    positive, labeled, and DP scales throughput sublinearly-but-nearly."""
+    from livecc_tpu.parallel.memory import MEASURED_7B_TRAIN, training_latency
+
+    cfg = ModelConfig.qwen2_vl_7b()
+    c = MEASURED_7B_TRAIN
+    L = cfg.text.num_hidden_layers
+    tp1 = training_latency(cfg, n_model=1)
+    tp4 = training_latency(cfg, n_model=4)
+    # compute part of tp4 = remainder + L*per_layer/4, plus positive comm
+    expect_compute = (c.remainder_ms + L * c.per_layer_step_ms / 4) / 1e3
+    assert tp4.comm_s > 0.0
+    assert abs(tp4.step_s - (expect_compute + tp4.comm_s)) < 1e-9
+    assert tp4.step_s > tp1.step_s / 4          # remainder floor survives
+    dp2 = training_latency(cfg, n_model=4, n_data=2)
+    assert dp2.tokens_per_step == 2 * c.seq
+    assert dp2.tokens_per_s > 1.5 * tp4.tokens_per_s   # near-linear DP
+    # 8-chip reference plan (DP=2 x TP=4) must beat single-chip throughput
+    assert dp2.tokens_per_s > training_latency(cfg).tokens_per_s

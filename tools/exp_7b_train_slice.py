@@ -54,10 +54,11 @@ def build_step(cfg: ModelConfig, params_text):
     tcfg_lr = 2e-5
     opt = optax.adamw(tcfg_lr, b1=0.9, b2=0.95, mu_dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
-    ids = jnp.asarray(rng.randint(8, 10000, size=(1, SEQ)), jnp.int32)
+    hi = min(10000, cfg.text.vocab_size)   # tiny-config CPU smoke stays in-vocab
+    ids = jnp.asarray(rng.randint(8, hi, size=(1, SEQ)), jnp.int32)
     labels = np.full((1, SEQ), -100, np.int32)
     sup_idx = rng.choice(SEQ - 1, size=SUP, replace=False)
-    labels[0, sup_idx] = rng.randint(8, 10000, size=SUP)
+    labels[0, sup_idx] = rng.randint(8, hi, size=SUP)
     labels = jnp.asarray(labels)
     pos = jnp.broadcast_to(jnp.arange(SEQ)[None, None], (3, 1, SEQ)).astype(jnp.int32)
     amask = jnp.ones((1, SEQ), bool)
@@ -67,7 +68,10 @@ def build_step(cfg: ModelConfig, params_text):
 
     use_flash = jax.default_backend() == "tpu"   # CPU smoke path in tests
 
-    def loss_fn(layer_params):
+    # `frozen` (embed + head, ~2.2 GB at 7B width) MUST ride as a jit
+    # ARGUMENT: closure-captured it lowers as 2.18 GB of inline constants,
+    # which the axon relay's remote_compile cannot ship (broken pipe).
+    def loss_fn(layer_params, frozen):
         hidden, _ = text_forward({**frozen, **layer_params}, cfg.text,
                                  frozen["embed"]["weight"][ids], pos,
                                  attention_mask=amask, use_flash=use_flash,
@@ -82,13 +86,18 @@ def build_step(cfg: ModelConfig, params_text):
     opt_state = opt.init(layers)
 
     @jax.jit
-    def step(layer_params, opt_state):
-        loss, g = jax.value_and_grad(loss_fn)(layer_params)
+    def step(layer_params, opt_state, frozen):
+        loss, g = jax.value_and_grad(loss_fn)(layer_params, frozen)
         updates, opt_state = opt.update(g, opt_state, layer_params)
         layer_params = optax.apply_updates(layer_params, updates)
         return layer_params, opt_state, loss, optax.global_norm(updates)
 
-    return step, layers, opt_state
+    def bound_step(layer_params, opt_state, _frozen=frozen):
+        return step(layer_params, opt_state, _frozen)
+
+    bound_step.jit_step = step      # raw jit, for lowering inspection (tests)
+    bound_step.frozen = frozen
+    return bound_step, layers, opt_state
 
 
 def measure_depth(depth: int) -> dict:
