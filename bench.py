@@ -223,9 +223,12 @@ def bench_serving() -> dict:
     if os.environ.get("BENCH_SPEC", "0") == "1":
         from livecc_tpu.engine import SpecConfig
         spec = SpecConfig()
+    # int8 weights are the TPU serving default (PERF.md r5 soak A/B:
+    # p50 1.26 s vs 1.73 s bf16); BENCH_W8=0/1 forces either side.
+    w8 = {None: None, "0": False, "1": True}[os.environ.get("BENCH_W8")]
     engine = LiveCCEngine(
         params, cfg, ByteTokenizer.for_config(cfg), cache_len=cache_len,
-        cache_dtype=cache_dtype, spec=spec,
+        cache_dtype=cache_dtype, spec=spec, quantize_weights=w8,
     )
     gen = GenerationParams(
         max_new_tokens=16,

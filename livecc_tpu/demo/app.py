@@ -55,7 +55,7 @@ document.getElementById('qaf').onsubmit = async (e) => {
 
 class DemoServer:
     def __init__(self, video_path: str, model_path: str | None, query: str,
-                 speculative: bool = False, quantize_weights: bool = False):
+                 speculative: bool = False, quantize_weights: bool | None = None):
         from livecc_tpu.demo.cli import build_engine
         from livecc_tpu.engine.live import LiveCC
 
@@ -121,8 +121,10 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--speculative", action="store_true",
                         help="fused on-device lookahead decoding")
-    parser.add_argument("--quantize-weights", action="store_true",
-                        help="weight-only int8 weights (ops/quant.py)")
+    parser.add_argument("--quantize-weights", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="weight-only int8 weights (ops/quant.py); "
+                             "default on for TPU serving")
     args = parser.parse_args(argv)
     server = DemoServer(args.video, args.model, args.query,
                         speculative=args.speculative,

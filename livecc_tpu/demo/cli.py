@@ -19,7 +19,7 @@ import json
 
 
 def build_engine(model_path: str | None, cache_len: int = 8192,
-                 quantize_weights: bool = False, speculative: bool = False):
+                 quantize_weights: bool | None = None, speculative: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -58,8 +58,11 @@ def main(argv=None):
     parser.add_argument("--output", default=None)
     parser.add_argument("--streaming-eos-base-threshold", type=float, default=0.0)
     parser.add_argument("--streaming-eos-threshold-step", type=float, default=0.0)
-    parser.add_argument("--quantize-weights", action="store_true",
-                        help="weight-only int8 LLM weights (half the HBM; ops/quant.py)")
+    parser.add_argument("--quantize-weights", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="weight-only int8 LLM weights (half the HBM; "
+                             "ops/quant.py). Default: on for TPU serving "
+                             "(PERF.md r5 soak A/B), off elsewhere")
     parser.add_argument("--speculative", action="store_true",
                         help="fused on-device lookahead decoding (n-gram "
                              "drafts verified in one forward; "

@@ -90,13 +90,19 @@ class LiveCCEngine:
         use_flash: bool | None = None,
         compact_keep: int | None = None,
         compact_sink_cap: int = 1024,
-        quantize_weights: bool = False,
+        quantize_weights: bool | None = None,
         spec: "SpecConfig | None" = None,
     ):
+        if quantize_weights is None:
+            # TPU serving DEFAULT (decided by data, PERF.md r5): weight-only
+            # int8 halves weight HBM on the decode hot path — real-video
+            # soak A/B p50 1.26 s vs 1.73 s bf16 (-27%), and at TRUE 7B
+            # width the drift is indistinguishable from bf16's own (zero
+            # argmax flips at margin > 2e-2 vs the fp32 goldens). Pass
+            # False explicitly for bit-parity work (tools/parity_vs_hf.py);
+            # CPU (the parity/test path) stays unquantized.
+            quantize_weights = jax.default_backend() == "tpu"
         if quantize_weights:
-            # Weight-only int8 (ops/quant.py): halves weight HBM traffic on
-            # the decode hot path; opt-in (bit-parity vs HF holds only for
-            # unquantized weights).
             from livecc_tpu.ops.quant import quantize_model_params
             params = quantize_model_params(params)
         self.params = params

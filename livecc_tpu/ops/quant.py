@@ -8,9 +8,10 @@ sees int8), and halves weight memory: the 7B drops from 15.5 GB to ~7.8 GB,
 turning the v5e serving plan from TP=4 into TP=2 (parallel/memory.py with
 ``param_dtype_bytes=1``).
 
-This is a *serving-side, opt-in* transform (``LiveCCEngine(...,
-quantize_weights=True)``); training and the HF-parity test path stay bf16/
-fp32. The reference has no quantization story at all — its serving memory
+This is a *serving-side* transform and the TPU serving DEFAULT
+(``LiveCCEngine(quantize_weights=None)`` resolves to int8 on TPU — decided
+by the r5 soak A/B + width-golden drift data, PERF.md); training and the
+HF-parity test path stay bf16/fp32 (pass ``quantize_weights=False``). The reference has no quantization story at all — its serving memory
 plan is "inherit an 80 GB GPU" (SURVEY.md §6).
 
 A quantized weight is a pytree node ``{"q": int8, "scale": bf16}`` with the

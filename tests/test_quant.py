@@ -122,6 +122,26 @@ def test_engine_quantized_smoke():
     assert len(out) == 2 and all(isinstance(t[2], str) for t in out)
 
 
+def test_engine_quantize_default_resolution():
+    """quantize_weights=None resolves per backend: int8 is the TPU serving
+    DEFAULT (r5 soak A/B, PERF.md), but CPU — the parity/test path — must
+    stay unquantized, and an explicit False must win on any backend."""
+    from livecc_tpu.data.tokenizer import ByteTokenizer
+    from livecc_tpu.engine import LiveCCEngine
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    assert jax.default_backend() == "cpu"     # conftest pins the test path
+    eng_default = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=512)
+    assert not is_quantized(eng_default.params["text"]["layers"]["down_kernel"])
+    eng_off = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=512,
+                           quantize_weights=False)
+    assert not is_quantized(eng_off.params["text"]["layers"]["down_kernel"])
+    eng_on = LiveCCEngine(params, cfg, ByteTokenizer(), cache_len=512,
+                          quantize_weights=True)
+    assert is_quantized(eng_on.params["text"]["layers"]["down_kernel"])
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_tp_sharded_quantized_forward_matches():
     """param_pspecs assigns valid TP specs to {"q","scale"} sub-leaves; the

@@ -98,7 +98,9 @@ def run_jax(checkpoint: str, frames: np.ndarray, query: str, *,
     if use_flash is None and dtype == "fp32":
         use_flash = False      # Pallas kernels are the bf16 deployment path
     kw = {} if use_flash is None else {"use_flash": use_flash}
-    engine = LiveCCEngine(params, cfg, tokenizer, cache_len=cache_len, **kw)
+    # parity demands exact weights: never the int8 TPU serving default
+    engine = LiveCCEngine(params, cfg, tokenizer, cache_len=cache_len,
+                          quantize_weights=False, **kw)
     gen = GenerationParams(max_new_tokens=max_new_tokens,
                            eos_token_id=cfg.eos_token_id,
                            pad_token_id=cfg.pad_token_id,

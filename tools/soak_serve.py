@@ -15,7 +15,8 @@ ms/frame, host CPU fraction, and compaction counts.
 
 Env: SOAK_STREAMS=8 SOAK_TICKS=300 SOAK_CLIP_S=60 SOAK_KV=int8
      SOAK_CACHE_LEN=16384 SOAK_PACE=1.0 SOAK_COMPACT=auto|0 SOAK_W8=0|1
-     (SOAK_W8=1: weight-only int8 LLM+ViT weights, ops/quant.py)
+     (weight-only int8 LLM+ViT weights, ops/quant.py; unset = the product
+     default: int8 on TPU — r5 soak A/B p50 1.26 s vs 1.73 s bf16)
 Usage: PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/tmp/tpu_cache \
        python tools/soak_serve.py
 """
@@ -99,7 +100,10 @@ def main() -> None:
     params = jax.block_until_ready(params)
     kv = os.environ.get("SOAK_KV", "int8")
     cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[kv]
-    w8 = os.environ.get("SOAK_W8", "0") == "1"
+    # unset -> the product default (int8 on TPU, PERF.md r5 soak A/B);
+    # SOAK_W8=0/1 forces either side for A/Bs
+    _w8_env = os.environ.get("SOAK_W8")
+    w8 = on_tpu if _w8_env is None else _w8_env == "1"
     spec = None
     if os.environ.get("SOAK_SPEC", "0") == "1":
         from livecc_tpu.engine import SpecConfig
