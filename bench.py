@@ -445,16 +445,28 @@ def bench_7b_train_slice() -> dict:
 def main() -> None:
     """The LAST stdout line is the headline metric (driver parses last)."""
     import sys
+    import traceback
 
     kernel_parity_preamble()
+
+    def attempt(name, fn, out):
+        """A failed OPTIONAL section logs to stderr and is dropped — it must
+        never take the serving headline (the last stdout line) with it."""
+        try:
+            out.append(fn())
+        except Exception:
+            print(f"[bench] section {name} failed:", file=sys.stderr)
+            traceback.print_exc()
+            sys.stderr.flush()
+
     results = []
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        results.append(bench_train())
+        attempt("train", bench_train, results)
     on_tpu = __import__("jax").default_backend() == "tpu"
     if os.environ.get("BENCH_7B", "1" if on_tpu else "0") != "0":
-        results.append(bench_7b_slice())
+        attempt("7b_slice", bench_7b_slice, results)
     if os.environ.get("BENCH_7B_TRAIN", "1" if on_tpu else "0") != "0":
-        results.append(bench_7b_train_slice())
+        attempt("7b_train_slice", bench_7b_train_slice, results)
     if os.environ.get("BENCH_SERVE", "1") != "0":
         results.append(bench_serving())        # headline stays last
     for r in results:
