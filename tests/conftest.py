@@ -47,5 +47,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from livecc_tpu.utils.compile_cache import machine_tag  # noqa: E402
 
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache", machine_tag())
+
+# Cache-poison guard (observed r5): a test run killed mid-compile can leave
+# the shared cache in a state whose reload DEADLOCKS the next run (every
+# thread futex-waits inside the first cached compile; a fresh dir compiles
+# the same program in seconds). A sentinel marks a session in flight; a
+# sentinel surviving process exit means the previous run was killed — wipe
+# and rebuild rather than risk a hung suite.
+_sentinel = os.path.join(_cache_dir, "INFLIGHT")
+if os.path.exists(_sentinel):
+    import shutil
+    import sys as _sys
+
+    print(f"[conftest] wiping compile cache poisoned by a killed run: "
+          f"{_cache_dir}", file=_sys.stderr)
+    shutil.rmtree(_cache_dir, ignore_errors=True)
+os.makedirs(_cache_dir, exist_ok=True)
+with open(_sentinel, "w") as _f:
+    _f.write(str(os.getpid()))
+import atexit  # noqa: E402
+
+atexit.register(lambda: os.path.exists(_sentinel) and os.remove(_sentinel))
+
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
