@@ -439,20 +439,42 @@ class MeasuredTrainCosts:
 
 
 # tools/exp_7b_train_slice.py on the v5e chip, depths (1, 3), seq 8192,
-# sup 4096, calibration 109.5 TF/s. The implied per-layer compute runs at
-# 1.064x the matmul-only FLOP model's ceiling (the model excludes the remat
-# recompute tax, so >1.0 means the step is AT the chip's delivered matmul
-# rate). Single session so far — treat absolute ms with the same
-# time-shared-chip caution as MEASURED_7B_WIDTH (sessions band there
-# disagreed by up to 30%); the r5 run is the only one where the frozen
-# embed/head ride as jit arguments (closure-captured they break the relay).
+# sup 4096 — ONE ROW PER SESSION (the chip is time-shared; the same
+# discipline as MEASURED_7B_WIDTH_SESSIONS). The implied per-layer compute
+# runs at ~0.96-1.06x the matmul-only FLOP model's ceiling (the model
+# excludes the remat recompute tax, so ~1.0 means the step executes AT the
+# chip's delivered matmul rate). Frozen embed/head MUST ride as jit
+# arguments (closure-captured they break the relay's remote_compile).
+MEASURED_7B_TRAIN_SESSIONS: tuple[MeasuredTrainCosts, ...] = (
+    MeasuredTrainCosts(
+        per_layer_step_ms=123.1,
+        remainder_ms=319.4 - 123.1,    # d1 wall − 1·per_layer
+        seq=8192,
+        measured_tflops=116.5,
+        vs_calibrated=1.064,
+        provenance="7b_train_slice 2026-08-19 session A (cal 109.5 TF/s)",
+    ),
+    MeasuredTrainCosts(
+        per_layer_step_ms=136.5,
+        remainder_ms=319.0 - 136.5,
+        seq=8192,
+        measured_tflops=105.1,
+        vs_calibrated=0.96,            # suite compiles loaded the host
+        provenance="7b_train_slice 2026-08-19 session B (bench.py, contended host)",
+    ),
+)
+
+# Conservative envelope (per-field max on costs; min on achieved rate).
 MEASURED_7B_TRAIN = MeasuredTrainCosts(
-    per_layer_step_ms=123.1,
-    remainder_ms=319.4 - 123.1,    # d1 wall − 1·per_layer
+    per_layer_step_ms=max(s.per_layer_step_ms for s in MEASURED_7B_TRAIN_SESSIONS),
+    remainder_ms=max(s.remainder_ms for s in MEASURED_7B_TRAIN_SESSIONS),
     seq=8192,
-    measured_tflops=116.5,
-    vs_calibrated=1.064,
-    provenance="7b_train_slice 2026-08-19 (tools/exp_7b_train_slice, cal 109.5 TF/s)",
+    measured_tflops=min(s.measured_tflops for s in MEASURED_7B_TRAIN_SESSIONS),
+    vs_calibrated=min(s.vs_calibrated for s in MEASURED_7B_TRAIN_SESSIONS),
+    provenance=(
+        f"envelope (per-field max) of {len(MEASURED_7B_TRAIN_SESSIONS)} "
+        "real-chip sessions, 2026-08-19"
+    ),
 )
 
 

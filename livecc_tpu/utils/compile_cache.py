@@ -48,6 +48,9 @@ def enable_machine_scoped_cache(base: str = "/tmp/tpu_cache") -> str:
 
     base = os.environ.get("JAX_COMPILATION_CACHE_DIR", base)
     path = machine_scoped_cache_dir(base)
+    # jax does not create a missing cache dir — every write then fails with
+    # a FileNotFoundError warning and nothing persists
+    os.makedirs(path, exist_ok=True)
     os.environ["JAX_COMPILATION_CACHE_DIR"] = path
     jax.config.update("jax_compilation_cache_dir", path)
     return path
