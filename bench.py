@@ -302,9 +302,12 @@ def bench_serving() -> dict:
     total = time.perf_counter() - wall0
     throughput = len(latencies) / total
 
-    # True end-to-end chunk latency: dispatch -> device done + text surfaced,
-    # recorded by the server's background collector.
-    e2e = engine.metrics.summary("chunk_e2e_latency")
+    # True end-to-end chunk latency: submit -> text surfaced (host prep +
+    # dispatch + device compute + token fetch + detokenize), recorded by the
+    # server against each chunk's submit wall-clock. Falls back to the older
+    # dispatch->done metric, then to the loop's polled latencies.
+    e2e = (engine.metrics.summary("chunk_submit_to_text")
+           or engine.metrics.summary("chunk_e2e_latency"))
     p50 = e2e.get("p50", float(np.percentile(latencies, 50)))
     # metric name stays stable across rounds; the KV dtype (int8 default on
     # TPU since r3) is recorded in the diagnostics

@@ -264,21 +264,37 @@ class StreamServer:
 
         Steady-state frames are staged to the device immediately (transfer +
         patchify dispatch) so they overlap the in-flight tick's compute —
-        in a real deployment frames arrive during the previous second."""
+        in a real deployment frames arrive during the previous second.
+
+        The submit wall-clock is carried with the chunk: when its text
+        surfaces, the server records ``chunk_submit_to_text`` (the honest
+        user-perceived commentary latency — submit through host prep,
+        dispatch, device compute, and text decode) and stamps the output
+        row for ``drain_timed``."""
         s = self._streams[sid]
+        sub_ts = time.perf_counter()
         if s.slot is not None:
             t, h, w = frames.shape[:3]
             cfgv = self.engine.cfg.vision
             grid = grid_for_frames(t, h, w, cfgv)
             staged = device_patchify(jnp.asarray(frames), n_pad=0)
-            s.pending = ((staged, grid), t0, t1)
+            s.pending = ((staged, grid), t0, t1, sub_ts)
         else:
-            s.pending = (frames, t0, t1)
+            s.pending = (frames, t0, t1, sub_ts)
 
     def drain(self, sid: int, sync: bool = True) -> list[tuple[tuple[float, float], str]]:
         """Collected outputs for a stream. ``sync=True`` (default) waits for
         the in-flight tick; ``sync=False`` returns whatever the background
         collector has already surfaced (keeps the pipeline running)."""
+        return [(span, text) for span, text, _ts in self.drain_timed(sid, sync=sync)]
+
+    def drain_timed(self, sid: int, sync: bool = True,
+                    ) -> list[tuple[tuple[float, float], str, float]]:
+        """Like drain, but each row carries the ``time.perf_counter()`` at
+        which its text became available (the collector surfaced it) — the
+        correct timestamp for latency accounting. A caller polling drain()
+        on a paced loop otherwise measures its own polling cadence, not
+        the serving latency (the r5 soak overstated p50 by ~1 pace)."""
         if sync:
             self._join_collector()
             self._collect()
@@ -627,14 +643,16 @@ class StreamServer:
                                            emitted / max(len(slot_map), 1)
                                            / max(int(n_iters_dev), 1))
             with self._lock:
-                for slot, (sid, span, n_new) in slot_map.items():
+                for slot, (sid, span, n_new, sub_ts) in slot_map.items():
                     s = self._streams.get(sid)
                     if s is None:
                         continue
                     generated = tokens[slot, : int(n_gen[slot])].tolist()
                     text = self.engine.tokenizer.decode(generated, skip_special_tokens=True)
-                    s.outputs.append((span, text))
+                    now = time.perf_counter()
+                    s.outputs.append((span, text, now))
                     self.engine.metrics.record("chunk_e2e_latency", done - dispatched)
+                    self.engine.metrics.record("chunk_submit_to_text", now - sub_ts)
 
     def _join_collector(self) -> None:
         c = self._collector
@@ -657,12 +675,14 @@ class StreamServer:
             return 0
         # init chunks: single-stream path (3D rope), then adopt into the pool
         for s in [x for x in ready if x.slot is None]:
-            frames, t0, t1 = s.pending
+            frames, t0, t1, sub_ts = s.pending
             s.pending = None
             q = s.query if (s.query and not s.query_sent) else None
             s.query_sent = s.query_sent or q is not None
             text = self.engine.chunk_step(s.init_state, frames, t0, t1, q, self.gen)
-            s.outputs.append(((t0, t1), text))
+            now = time.perf_counter()
+            s.outputs.append(((t0, t1), text, now))
+            self.engine.metrics.record("chunk_submit_to_text", now - sub_ts)
             self._adopt(s)
         steady = [s for s in ready if s.pending is not None]
         if steady:
@@ -679,7 +699,7 @@ class StreamServer:
         # per-video resolution, demo/infer.py:89-94).
         preps = []
         for s in streams:
-            (staged, grid), t0, t1 = s.pending
+            (staged, grid), t0, t1, sub_ts = s.pending
             s.pending = None
             content = [{"type": "text", "text": f"Time={t0:.1f}-{t1:.1f}s"},
                        {"type": "video", "video": None}]
@@ -688,7 +708,7 @@ class StreamServer:
             text = chat.strip_system_for_continuation(text, engine.sys_offset)
             text = chat.expand_vision_placeholders(text, video_grid_thw=[grid])
             preps.append({"s": s, "ids": engine.tokenizer.encode(text), "grid": grid,
-                          "staged": staged, "span": (t0, t1)})
+                          "staged": staged, "span": (t0, t1), "sub_ts": sub_ts})
         groups: dict[tuple, list[dict]] = {}
         for p in preps:
             groups.setdefault(p["grid"], []).append(p)
@@ -763,7 +783,7 @@ class StreamServer:
         for p in preps:
             s = p["s"]
             slot = s.slot
-            slot_map[slot] = (s.sid, p["span"], len(p["ids"]))
+            slot_map[slot] = (s.sid, p["span"], len(p["ids"]), p["sub_ts"])
             ids[slot, : len(p["ids"])] = p["ids"]
             valid[slot] = len(p["ids"])
             deltas[slot] = s.rope_delta

@@ -447,3 +447,41 @@ def test_pool_lookahead_compaction_and_snapshot(tmp_path):
     a = [x for _, x in server.drain(sid)]
     b = [x for _, x in server2.drain(rid)]
     assert a == b
+
+
+def test_drain_timed_availability_timestamps():
+    """drain_timed stamps each output with the wall-clock its text became
+    available, and the server records chunk_submit_to_text per chunk —
+    submit ts <= avail ts, one metric sample per drained row. (A paced
+    harness polling drain() would otherwise measure its own polling
+    cadence; the r5 soak overstated p50 by ~1 pace this way.)"""
+    import time
+
+    engine = build_engine()
+    server = StreamServer(engine, gen_for(engine))
+    s0 = server.add_stream((28, 28), query="q")
+
+    before = time.perf_counter()
+    server.submit_chunk(s0, frames(0, 6), 0.0, 3.0)
+    server.tick()
+    server.submit_chunk(s0, frames(1), 3.0, 4.0)
+    server.tick()
+    server.flush()
+    after = time.perf_counter()
+
+    rows = server.drain_timed(s0)
+    assert [span for span, _, _ in rows] == [(0.0, 3.0), (3.0, 4.0)]
+    for _, text, ts in rows:
+        assert isinstance(text, str)
+        assert before <= ts <= after
+    # timestamps are ordered with the chunks
+    assert rows[0][2] <= rows[1][2]
+    m_ = engine.metrics.summary("chunk_submit_to_text")
+    assert m_["n"] == 2
+    assert m_["max"] <= after - before
+    # drain() keeps its 2-tuple API
+    server.submit_chunk(s0, frames(2), 4.0, 5.0)
+    server.tick()
+    server.flush()
+    out = server.drain(s0)
+    assert len(out) == 1 and len(out[0]) == 2

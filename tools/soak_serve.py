@@ -158,7 +158,17 @@ def main() -> None:
     t = 3.0
     wall0 = time.perf_counter()
     cpu0 = time.process_time()
+    # Two latency definitions per chunk, both from the same drained rows:
+    #  * avail  = text-available ts (collector surfaced it, from
+    #    drain_timed) - submit ts: the user-perceived commentary latency.
+    #    This is the headline.
+    #  * polled = drain wall at the 1 Hz tick boundary - submit ts: what the
+    #    r3/r5 soaks reported. It bakes the harness's own polling cadence
+    #    into the number (text that surfaced mid-pace is only SEEN at the
+    #    next tick), overstating by up to one pace; kept for cross-round
+    #    comparability.
     latencies = []
+    polled = []
     future = pool.submit(decode_all, 3)
     for i in range(TICKS + 1):
         if PACE:
@@ -181,8 +191,10 @@ def main() -> None:
         drained = time.perf_counter()
         tick_wall.append(drained - t0)
         for sid in sids:
-            for (span0, _), _text in server.drain(sid, sync=False):
-                latencies.append(drained - submit_times.get(span0, drained))
+            for (span0, _), _text, avail_ts in server.drain_timed(sid, sync=False):
+                sub = submit_times.get(span0, drained)
+                latencies.append(avail_ts - sub)
+                polled.append(drained - sub)
         t += 1.0
         if (i + 1) % 50 == 0:
             print(f"tick {i + 1}/{TICKS} p50 so far "
@@ -196,10 +208,12 @@ def main() -> None:
         "metric": (f"soak_realvideo_p50_{STREAMS}streams_{cfg.name}_{kv}"
                    + ("_w8" if w8 else "")),
         "ticks": TICKS, "pace_s": PACE, "cache_len": cache_len,
-        "p50_e2e_incl_decode_s": round(float(np.percentile(latencies, 50)), 4),
-        "p90_e2e_incl_decode_s": round(float(np.percentile(latencies, 90)), 4),
-        "p99_e2e_incl_decode_s": round(float(np.percentile(latencies, 99)), 4),
-        "max_e2e_s": round(float(np.max(latencies)), 4),
+        "p50_text_avail_s": round(float(np.percentile(latencies, 50)), 4),
+        "p90_text_avail_s": round(float(np.percentile(latencies, 90)), 4),
+        "p99_text_avail_s": round(float(np.percentile(latencies, 99)), 4),
+        "max_text_avail_s": round(float(np.max(latencies)), 4),
+        "p50_polled_1hz_s": round(float(np.percentile(polled, 50)), 4),
+        "p99_polled_1hz_s": round(float(np.percentile(polled, 99)), 4),
         "chunks": len(latencies),
         "p50_tick_wall_s": round(float(np.percentile(tick_wall, 50)), 4),
         "decode_ms_per_frame": round(1000 * float(np.sum(decode_s)) / (TICKS * STREAMS * 2), 2),
