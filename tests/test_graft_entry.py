@@ -109,3 +109,58 @@ def test_dryrun_timeboxes_slow_stage():
     assert "DONE  base" in out, out
     assert "SKIP  seq_parallel: timed out" in out, out
     assert "SKIP  pipeline: timed out" in out, out
+
+
+def test_dryrun_stale_sentinel_keeps_cache(tmp_path):
+    """A stale INFLIGHT sentinel (parent killed mid-stage, e.g. by the
+    driver's deadline) must NOT wipe the persistent compile cache: the warm
+    7B-stage executables are what let those stages finish inside the budget
+    (cold 7b_tp_train measured 1990 s on this host), and a genuinely
+    poisoned entry is already bounded by the per-stage time-box + wipe on
+    abnormal exit. The sentinel itself must be cleared."""
+    import os
+    import subprocess
+    import sys
+
+    from livecc_tpu.utils.compile_cache import machine_scoped_cache_dir
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_dir = str(tmp_path / "cache")
+    scoped = machine_scoped_cache_dir(base_dir)
+    os.makedirs(scoped, exist_ok=True)
+    with open(os.path.join(scoped, "INFLIGHT"), "w") as f:
+        f.write("7b_tp_train")
+    marker = os.path.join(scoped, "jit_marker-warm-entry-cache")
+    with open(marker, "w") as f:
+        f.write("warm")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        [f for f in env.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+        + ["--xla_force_host_platform_device_count=1"]
+    )
+    env["PYTHONPATH"] = os.pathsep.join(p for p in [repo, env.get("PYTHONPATH", "")] if p)
+    env["LIVECC_DRYRUN_7B"] = "0"
+    env["JAX_COMPILATION_CACHE_DIR"] = base_dir
+    # after base, <60 s remain -> optional stages skip: one-stage test
+    env["LIVECC_DRYRUN_BUDGET"] = "1"
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('GATE_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=1800,
+    )
+    out = proc.stdout
+    assert proc.returncode == 0, f"stdout:\n{out}\nstderr:\n{proc.stderr}"
+    assert "GATE_OK" in out
+    assert "DONE  base" in out, out
+    assert "keeping the warm cache" in out, out
+    assert os.path.exists(marker), "stale sentinel must not wipe the cache"
+    assert not os.path.exists(os.path.join(scoped, "INFLIGHT"))
