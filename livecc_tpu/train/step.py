@@ -35,6 +35,11 @@ Params = dict[str, Any]
 import os as _os
 
 _CE_LOGITS_IMPL = _os.environ.get("CE_LOGITS", "bf16")
+# CE autodiff strategy on the TPU path: "fused" (grads computed in the
+# forward chunk scan via custom_vjp — 3 matmul passes/chunk instead of the
+# checkpoint-recompute path's 4, ops/chunked_ce.py) or "scan". Env override
+# for A/B; the CPU/parity path always uses "scan".
+_CE_IMPL = _os.environ.get("CE_IMPL", "fused")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +62,11 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     freeze_modules: tuple[str, ...] = ("visual",)
     ce_chunk_size: int = 1024
+    # CE autodiff strategy: None resolves per backend (TPU -> the fused
+    # custom_vjp path unless CE_IMPL=scan; CPU/parity -> "scan"). Explicit
+    # "fused"/"scan" pins it — tests use this to exercise the fused path
+    # on the CPU suite.
+    ce_impl: Optional[str] = None
     # Static cap on supervised positions per micro-batch: when set, the CE
     # gathers ONLY supervised (label != -100) positions into a [ce_sup_bucket]
     # buffer before the vocab projection, so the 152k-vocab matmul runs over
@@ -175,6 +185,8 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
     # CE_LOGITS=f32 A/Bs back to full-precision rows.
     ce_logit_dtype = (jnp.bfloat16 if use_flash and _CE_LOGITS_IMPL == "bf16"
                       else None)
+    ce_impl = tcfg.ce_impl or (
+        "fused" if use_flash and _CE_IMPL == "fused" else "scan")
     if cfg.text.tie_word_embeddings:
         kernel = params["text"]["embed"]["weight"].T
     else:
@@ -195,13 +207,14 @@ def loss_fn(params: Params, cfg: ModelConfig, tcfg: TrainConfig, micro,
         loss, count = chunked_cross_entropy(
             flat_h[idx][None], kernel, lab[None],
             chunk_size=min(tcfg.ce_chunk_size, kb),
-            logit_dtype=ce_logit_dtype,
+            logit_dtype=ce_logit_dtype, impl=ce_impl,
         )
         dropped = jnp.maximum(n_sup - kb, 0)
     else:
         loss, count = chunked_cross_entropy(hidden, kernel, shifted,
                                             chunk_size=tcfg.ce_chunk_size,
-                                            logit_dtype=ce_logit_dtype)
+                                            logit_dtype=ce_logit_dtype,
+                                            impl=ce_impl)
         dropped = jnp.int32(0)
     return loss, (count, dropped)
 

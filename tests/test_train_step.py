@@ -48,14 +48,18 @@ def test_loss_decreases_and_visual_frozen():
     )
 
 
-def test_sharded_train_step_8dev():
+@pytest.mark.parametrize("ce_impl", [None, "fused"])
+def test_sharded_train_step_8dev(ce_impl):
+    """DPxTP ZeRO-2 step on the virtual mesh; ce_impl="fused" additionally
+    pins that the custom_vjp CE (the TPU default) partitions under GSPMD —
+    its [H, V] fp32 grad accumulator must shard like the kernel."""
     devs = jax.devices()
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
     mesh = make_mesh(n_data=4, n_model=2, devices=devs[:8])
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
-    tcfg = TrainConfig(learning_rate=1e-3, total_steps=10)
+    tcfg = TrainConfig(learning_rate=1e-3, total_steps=10, ce_impl=ce_impl)
     opt = make_optimizer(tcfg)
 
     params = shard_params(params, mesh)
@@ -218,3 +222,71 @@ def test_ce_bf16_logit_rows_bounded_drift():
     _, c16 = chunked_cross_entropy(hidden, kernel, labels, chunk_size=16,
                                    logit_dtype=jnp.bfloat16)
     assert int(c32) == int(c16)
+
+
+def test_fused_ce_matches_scan_grads():
+    """impl="fused" (custom_vjp: grads computed in the forward chunk scan,
+    the TPU default — ops/chunked_ce.py) must reproduce the checkpoint-
+    recompute path's loss AND both gradients at fp32, including padding
+    (s % chunk != 0), label masking and the frozen-kernel fast path."""
+    from livecc_tpu.ops.chunked_ce import chunked_cross_entropy
+
+    rng = np.random.RandomState(3)
+    b, s, h, v = 2, 50, 64, 512                       # 50 % 16 != 0: pad leg
+    hidden = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    kernel = jnp.asarray((rng.randn(h, v) / np.sqrt(h)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, v, size=(b, s)).astype(np.int32))
+    labels = labels.at[0, :48].set(-100)              # one chunk fully masked
+
+    def mean_loss(hid, ker, impl, kg=True):
+        loss, count = chunked_cross_entropy(hid, ker, labels, chunk_size=16,
+                                            impl=impl, kernel_grad=kg)
+        return loss / jnp.maximum(count, 1)
+
+    l0, (gh0, gk0) = jax.value_and_grad(
+        lambda a, k: mean_loss(a, k, "scan"), argnums=(0, 1))(hidden, kernel)
+    l1, (gh1, gk1) = jax.value_and_grad(
+        lambda a, k: mean_loss(a, k, "fused"), argnums=(0, 1))(hidden, kernel)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    assert float(jnp.linalg.norm(gh1 - gh0) / jnp.linalg.norm(gh0)) < 1e-5
+    assert float(jnp.linalg.norm(gk1 - gk0) / jnp.linalg.norm(gk0)) < 1e-5
+    # kernel_grad=False: hidden grad unchanged, kernel cotangent zeros
+    _, (gh2, gk2) = jax.value_and_grad(
+        lambda a, k: mean_loss(a, k, "fused", kg=False), argnums=(0, 1))(hidden, kernel)
+    assert float(jnp.linalg.norm(gh2 - gh0) / jnp.linalg.norm(gh0)) < 1e-5
+    assert float(jnp.linalg.norm(gk2)) == 0.0
+    # undifferentiated primal: identical math to the scan path
+    lA = chunked_cross_entropy(hidden, kernel, labels, chunk_size=16, impl="scan")
+    lB = chunked_cross_entropy(hidden, kernel, labels, chunk_size=16, impl="fused")
+    assert float(lA[0]) == float(lB[0]) and int(lA[1]) == int(lB[1])
+    # all-masked batch stays finite (softmax over garbage rows is masked out)
+    allmask = jnp.full((b, s), -100, jnp.int32)
+    lD, gD = jax.value_and_grad(
+        lambda a: chunked_cross_entropy(a, kernel, allmask, chunk_size=16,
+                                        impl="fused")[0])(hidden)
+    assert float(lD) == 0.0 and bool(jnp.all(gD == 0.0))
+
+
+def test_fused_ce_in_train_step_matches_scan():
+    """End-to-end: one train step with ce_impl="fused" vs "scan" produces
+    the same loss and updated params (fp32, CPU) — the custom_vjp composes
+    with remat, the grad-accum scan, the sup-bucket gather and AdamW."""
+    cfg = tiny_config()
+    params0 = init_params(cfg, jax.random.PRNGKey(0))
+    batch = text_batch(cfg, accum=2)
+
+    def run(impl):
+        tcfg = TrainConfig(learning_rate=1e-3, total_steps=10, ce_chunk_size=16,
+                           ce_sup_bucket=32, ce_impl=impl)
+        opt = make_optimizer(tcfg)
+        opt_state = opt.init(split_frozen(params0, tcfg.freeze_modules)[0])
+        step = jax.jit(make_train_step(cfg, tcfg, opt))
+        params, _, metrics = step(params0, opt_state, batch)
+        return float(metrics["loss"]), params
+
+    loss_s, p_s = run("scan")
+    loss_f, p_f = run("fused")
+    np.testing.assert_allclose(loss_f, loss_s, rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(p_s), jax.tree_util.tree_leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-7)

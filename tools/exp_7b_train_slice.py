@@ -78,9 +78,12 @@ def build_step(cfg: ModelConfig, params_text):
                                  remat=True)
         kernel = (frozen["lm_head"]["kernel"] if "lm_head" in frozen
                   else frozen["embed"]["weight"].T)
-        loss, count = chunked_cross_entropy(hidden, kernel, labels,
-                                            chunk_size=1024,
-                                            logit_dtype=jnp.bfloat16)
+        # fused custom_vjp CE matches the r5 train-step default; the head is
+        # frozen here so its grad pass is skipped too (kernel_grad=False).
+        # EXP_CE=scan A/Bs the checkpoint-recompute path.
+        loss, count = chunked_cross_entropy(
+            hidden, kernel, labels, chunk_size=1024, logit_dtype=jnp.bfloat16,
+            impl=os.environ.get("EXP_CE", "fused"), kernel_grad=False)
         return loss / jnp.maximum(count, 1)
 
     opt_state = opt.init(layers)

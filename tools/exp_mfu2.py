@@ -153,9 +153,12 @@ def main():
         gc.collect()
         calibrate()
 
-    # ce: fp32 logit rows; ce_bf16: bf16 rows (r5 bandwidth fix, CE_LOGITS)
-    for ce_probe in (p for p in probes if p in ("ce", "ce_bf16")):
-        logit_dtype = jnp.bfloat16 if ce_probe == "ce_bf16" else None
+    # ce: fp32 logit rows; ce_bf16: bf16 rows (r5 bandwidth fix, CE_LOGITS);
+    # ce_fused: bf16 rows + custom_vjp grads-in-forward (r5 CE_IMPL default —
+    # 3 matmul passes per chunk instead of the checkpoint path's 4)
+    for ce_probe in (p for p in probes if p in ("ce", "ce_bf16", "ce_fused")):
+        logit_dtype = None if ce_probe == "ce" else jnp.bfloat16
+        ce_impl = "fused" if ce_probe == "ce_fused" else "scan"
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)["text"]
         kb = 5120
         hid = jnp.asarray(rng.randn(1, kb, cfg.text.hidden_size), jnp.bfloat16)
@@ -165,7 +168,7 @@ def main():
 
         def ce_loss(kernel, hid, lab):
             loss, _ = chunked_cross_entropy(hid, kernel, lab, chunk_size=1024,
-                                            logit_dtype=logit_dtype)
+                                            logit_dtype=logit_dtype, impl=ce_impl)
             return loss
 
         @jax.jit
