@@ -192,6 +192,86 @@ def chunked_cross_entropy(
     return _scan_ce(hidden, lm_kernel, labels, chunk_size, out_dtype)
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _pmax_sg(x, axis_name):
+    """``lax.pmax`` with a zero derivative (stop-gradient semantics).
+
+    ``pmax`` has no AD rule, and wrapping it in ``stop_gradient`` does not
+    help: JVP tracing reaches the inner pmax first. The custom_jvp keeps
+    pmax's vma typing (the result is invariant over ``axis_name``, which the
+    shard_map replication checker needs) while pinning the tangent to zero —
+    exact for the logsumexp max-shift, whose derivative cancels analytically.
+    """
+    return lax.pmax(x, axis_name)
+
+
+@_pmax_sg.defjvp
+def _pmax_sg_jvp(axis_name, primals, tangents):
+    out = lax.pmax(primals[0], axis_name)
+    return out, jnp.zeros_like(out)
+
+
+def vocab_parallel_ce(hidden, kernel_shard, labels, *, axis_name: str,
+                      v_total: int, chunk_size: int = 1024, logit_dtype=None):
+    """Chunked CE with the VOCAB dimension sharded over a mesh axis.
+
+    For use INSIDE ``shard_map``: each participant holds a [H, V/P] column
+    slice of the lm_head kernel (shard ``i`` owns global columns
+    ``[i*V/P, (i+1)*V/P)``) and the full ``hidden``/``labels``. The full
+    logsumexp is assembled from per-shard pieces with three small
+    collectives per chunk (pmax of the row max, psum of the shifted sumexp,
+    psum of the masked gold-logit gather) — O(batch x chunk) floats each,
+    never a [*, V] tensor. Returns (summed loss fp32, supervised count),
+    replicated over ``axis_name``; gradients flow to both operands (the
+    kernel cotangent stays shard-local — no [H, V] all-reduce, the reason
+    this exists: see parallel/pipeline.py, where the CE head is
+    vocab-sharded over the pipeline stages so the tail after the drain
+    phase runs P-way parallel instead of replicated).
+
+    ``v_total`` is the UNPADDED vocab size: when the caller pads V up to a
+    multiple of the axis size, the pad columns are masked to -inf here so
+    they cannot leak into the logsumexp.
+    """
+    v_shard = kernel_shard.shape[1]
+    n_shards = lax.axis_size(axis_name)
+    assert v_shard * n_shards >= v_total, (v_shard, n_shards, v_total)
+    needs_col_mask = v_shard * n_shards != v_total
+    out_dtype = jnp.float32 if logit_dtype is None else logit_dtype
+    v0 = lax.axis_index(axis_name) * v_shard
+    hidden, labels = _chunked(hidden, labels, chunk_size)
+
+    @jax.checkpoint
+    def chunk_loss(hid, lab):
+        logits = jnp.einsum("bsh,hv->bsv", hid, kernel_shard,
+                            preferred_element_type=out_dtype)
+        lf = logits.astype(jnp.float32)
+        if needs_col_mask:
+            col = v0 + lax.iota(jnp.int32, v_shard)
+            lf = jnp.where(col < v_total, lf, -1e30)
+        gmax = _pmax_sg(jnp.max(lf, axis=-1), axis_name)
+        sumexp = jnp.sum(jnp.exp(lf - gmax[..., None]), axis=-1)
+        logz = gmax + jnp.log(lax.psum(sumexp, axis_name))
+        mask = lab != IGNORE_INDEX
+        safe = jnp.where(mask, lab, 0)
+        loc = safe - v0
+        in_shard = (loc >= 0) & (loc < v_shard)
+        gl = jnp.take_along_axis(lf, jnp.clip(loc, 0, v_shard - 1)[..., None],
+                                 axis=-1)[..., 0]
+        gold = lax.psum(jnp.where(in_shard, gl, 0.0), axis_name)
+        return jnp.sum(jnp.where(mask, logz - gold, 0.0)), jnp.sum(mask)
+
+    def body(carry, xs):
+        loss, count = carry
+        l, c = chunk_loss(*xs)
+        return (loss + l, count + c), None
+
+    # carries inherit the operands' varying axes (see _scan_ce)
+    zero_f = jnp.float32(0.0) + 0.0 * hidden[0, 0, 0, 0].astype(jnp.float32)
+    zero_i = jnp.int32(0) + 0 * labels[0, 0, 0]
+    (loss, count), _ = lax.scan(body, (zero_f, zero_i), (hidden, labels))
+    return loss, count
+
+
 def cross_entropy_mean(hidden, lm_kernel, labels, chunk_size: int = 1024,
                        logit_dtype=None) -> jnp.ndarray:
     loss, count = chunked_cross_entropy(hidden, lm_kernel, labels,

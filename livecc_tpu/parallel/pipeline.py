@@ -11,12 +11,15 @@ Gradients come from plain autodiff THROUGH the schedule (the transpose of
 the single-device step (tested on the virtual CPU mesh).
 
 Scope (v1): text-only microbatches with frozen-ViT semantics (the
-reference's recipe, --freeze_modules visual). Embedding, final norm and
-the CE head run replicated OUTSIDE the shard_map region — GSPMD handles
-their data-parallel gradients; only the layer stack pipelines. The data
-axis keeps its usual meaning: batch rows shard over ``data`` inside the
-pipeline too, so DP x PP composes on one 2D mesh (PP replaces TP on the
-``model`` axis — the two are alternative uses of the same axis here).
+reference's recipe, --freeze_modules visual). Embedding runs replicated
+OUTSIDE the shard_map region (GSPMD handles its data-parallel gradient);
+the layer stack pipelines, and the CE head runs VOCAB-PARALLEL across the
+stages inside the region (each stage owns [H, V/P] columns;
+ops/chunked_ce.py:vocab_parallel_ce) — the tail after the drain uses all
+P MXUs and the head's [H, V] gradient never crosses the model axis. The
+data axis keeps its usual meaning: batch rows shard over ``data`` inside
+the pipeline too, so DP x PP composes on one 2D mesh (PP replaces TP on
+the ``model`` axis — the two are alternative uses of the same axis here).
 
 Memory: autodiff through the tick scan stashes one boundary activation
 per tick (M + P - 1 of [B/dp, S, H]) — the GPipe profile; per-layer remat
@@ -40,7 +43,7 @@ from livecc_tpu.core.config import ModelConfig
 from livecc_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 from livecc_tpu.models.qwen2_vl.text import decoder_block, remat_policy
 from livecc_tpu.ops.attention import causal_mask, mha, train_flash_attention
-from livecc_tpu.ops.chunked_ce import chunked_cross_entropy
+from livecc_tpu.ops.chunked_ce import vocab_parallel_ce
 from livecc_tpu.ops.norms import rms_norm
 from livecc_tpu.ops.quant import embed_lookup, vocab_kernel
 from livecc_tpu.ops.rope import mrope_cos_sin
@@ -115,8 +118,12 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
     def pp_fn(layers_shard, final_ln, lm_kernel, embeds, cos, sin, mask, labels):
         """Per-device GPipe schedule. embeds/cos/sin/mask/labels carry the
         microbatch dim M in front; layers_shard is this stage's slice;
-        final_ln/lm_kernel are replicated (the CE head runs on the LAST
-        stage — only two scalars ever cross the model axis)."""
+        lm_kernel is this stage's VOCAB column slice — after the drain the
+        last stage's hidden states are psum-broadcast over the model axis
+        and every stage computes the CE over its own vocab shard
+        (ops/chunked_ce.py:vocab_parallel_ce), so the 152k-column head
+        runs P-way parallel and its [H, V] gradient stays shard-local
+        instead of being psum-replicated across the stages."""
         m = embeds.shape[0]
         stage = lax.axis_index(MODEL_AXIS)
         n_ticks = m + n_stage - 1
@@ -151,18 +158,21 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
             return (recv, outs), None
 
         (recv, outs), _ = lax.scan(tick, (recv0, outs0), jnp.arange(n_ticks))
-        # CE on the LAST stage only: the full [M, Bd, S, H] hidden states
-        # never cross the model axis — only (loss_sum, count) do. Other
-        # stages run the same (masked-to-zero) CE so the collective is a
-        # plain psum of scalars.
+        # Broadcast the last stage's hidden states over the model axis (a
+        # psum with one non-zero contributor: non-last stages' outs stay
+        # the zeros init), then run the CE VOCAB-PARALLEL: each stage owns
+        # a [H, V/P] column slice, so the head's matmuls run P-way parallel
+        # during the tail and only O(batch x chunk) scalars per chunk cross
+        # the model axis — never a [*, V] tensor, and the kernel gradient
+        # stays shard-local.
+        last = stage == n_stage - 1
+        outs = lax.psum(jnp.where(last, outs, 0.0), MODEL_AXIS)
         hidden = rms_norm(outs, final_ln, cfg.text.rms_norm_eps)
         b, s = hidden.shape[1], hidden.shape[2]
-        loss, count = chunked_cross_entropy(
+        loss, count = vocab_parallel_ce(
             hidden.reshape(m * b, s, -1), lm_kernel, labels.reshape(m * b, s),
+            axis_name=MODEL_AXIS, v_total=cfg.text.vocab_size,
             chunk_size=tcfg.ce_chunk_size)
-        last = stage == n_stage - 1
-        loss = lax.psum(jnp.where(last, loss, 0.0), MODEL_AXIS)
-        count = lax.psum(jnp.where(last, count, 0), MODEL_AXIS)
         # data-parallel reduction: token-weighted global mean
         loss = lax.psum(loss, DATA_AXIS)
         count = lax.psum(count, DATA_AXIS)
@@ -170,8 +180,9 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
 
     pp_sharded = jax.shard_map(
         pp_fn, mesh=mesh,
-        in_specs=(P(MODEL_AXIS), P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS),
-                  P(None, DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        in_specs=(P(MODEL_AXIS), P(), P(None, MODEL_AXIS), P(None, DATA_AXIS),
+                  P(None, DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                  P(None, DATA_AXIS)),
         out_specs=(P(), P()),
     )
 
@@ -192,6 +203,11 @@ def make_pp_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer,
             kernel, scale = vocab_kernel(tp["lm_head"]["kernel"], transpose=False)
         if scale is not None:
             kernel = kernel.astype(embeds.dtype) * scale
+        # vocab-parallel CE: pad V up to a stage multiple (pad columns are
+        # masked to -inf inside vocab_parallel_ce via cfg.text.vocab_size)
+        v_pad = -kernel.shape[1] % n_stage
+        if v_pad:
+            kernel = jnp.pad(kernel, ((0, 0), (0, v_pad)))
         shifted = jnp.concatenate(
             [batch.labels[:, :, 1:], jnp.full_like(batch.labels[:, :, :1], -100)],
             axis=2)

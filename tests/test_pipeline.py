@@ -151,3 +151,61 @@ def test_pp_packed_segment_batch():
             params, opt_state2, batch)
     np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]), rtol=1e-5)
     assert int(m_pp["tokens"]) == int(m_ref["tokens"])
+
+
+@pytest.mark.parametrize("v_total", [64, 61])
+def test_vocab_parallel_ce_matches_dense(v_total):
+    """vocab_parallel_ce (CE head column-sharded over a mesh axis, used by
+    the pipeline tail) matches the dense chunked CE in loss, count and both
+    gradients — including a vocab that does NOT divide the axis (61 over 4
+    shards: pad columns must be masked out of the logsumexp)."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from livecc_tpu.ops.chunked_ce import chunked_cross_entropy, vocab_parallel_ce
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(n_data=1, n_model=4, devices=devs[:4])
+    rng = np.random.RandomState(7)
+    b, s, h = 2, 37, 16                                 # 37 % 16 != 0: pad leg
+    hidden = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    kernel = jnp.asarray((rng.randn(h, v_total) / 4).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, v_total, size=(b, s)).astype(np.int32))
+    labels = labels.at[0, :10].set(-100)
+
+    v_pad = -v_total % 4
+    kernel_p = jnp.pad(kernel, ((0, 0), (0, v_pad)))
+
+    def sharded(hid, ker, lab):
+        def f(hid, ker, lab):
+            loss, count = vocab_parallel_ce(hid, ker, lab, axis_name="model",
+                                            v_total=v_total, chunk_size=16)
+            return lax.psum(loss, "data"), lax.psum(count, "data")
+        return jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P("data"), P(None, "model"), P("data")),
+            out_specs=(P(), P()))(hid, ker, lab)
+
+    def mean_sharded(hid, ker):
+        loss, count = sharded(hid, ker, labels)
+        return loss / jnp.maximum(count, 1)
+
+    def mean_dense(hid, ker):
+        loss, count = chunked_cross_entropy(hid, ker, labels, chunk_size=16)
+        return loss / jnp.maximum(count, 1)
+
+    with jax.set_mesh(mesh):
+        l_sh, c_sh = sharded(hidden, kernel_p, labels)
+        gh_sh, gk_sh = jax.grad(mean_sharded, argnums=(0, 1))(hidden, kernel_p)
+    l_d, c_d = chunked_cross_entropy(hidden, kernel, labels, chunk_size=16)
+    gh_d, gk_d = jax.grad(mean_dense, argnums=(0, 1))(hidden, kernel)
+
+    np.testing.assert_allclose(float(l_sh), float(l_d), rtol=1e-6)
+    assert int(c_sh) == int(c_d)
+    assert float(jnp.linalg.norm(gh_sh - gh_d) / jnp.linalg.norm(gh_d)) < 1e-5
+    gk_sh_trim = gk_sh[:, :v_total]
+    assert float(jnp.linalg.norm(gk_sh_trim - gk_d) / jnp.linalg.norm(gk_d)) < 1e-5
+    if v_pad:
+        assert float(jnp.linalg.norm(gk_sh[:, v_total:])) == 0.0
