@@ -65,11 +65,15 @@ def test_dryrun_multichip_bootstraps_from_one_device():
     assert "ok" in proc.stdout
 
 
-def test_dryrun_timeboxes_slow_stage():
+def test_dryrun_timeboxes_slow_stage(tmp_path):
     """A stage whose compile/run overruns its time-box must degrade to a
     recorded SKIP, never a gate failure (VERDICT r4 weak #1: estimate
-    gating could not preempt a running stage on a slow host-hour). Simulate
-    the slow host with LIVECC_DRYRUN_STAGE_SLEEP and a tiny per-stage cap."""
+    gating could not preempt a running stage on a slow host-hour), AND the
+    parent's own timeout-kill of an optional stage must KEEP the warm
+    compile cache (r5: wiping there cold-looped every later run — the
+    oversize 7b_tp_train stage timed out, the wipe sent every stage cold,
+    so the next run timed out too). Simulate the slow host with
+    LIVECC_DRYRUN_STAGE_SLEEP and a tiny per-stage cap."""
     import os
     import subprocess
     import sys
@@ -92,6 +96,17 @@ def test_dryrun_timeboxes_slow_stage():
     # exhausted" BEFORE the time-box path under test is reached — give the
     # run a budget only the sleeps can threaten
     env["LIVECC_DRYRUN_BUDGET"] = "3600"
+    # pre-warm a marker entry: the optional-stage timeout kills below must
+    # NOT wipe it (only crashes and mandatory-stage failures wipe)
+    from livecc_tpu.utils.compile_cache import machine_scoped_cache_dir
+
+    base_dir = str(tmp_path / "cache")
+    env["JAX_COMPILATION_CACHE_DIR"] = base_dir
+    scoped = machine_scoped_cache_dir(base_dir)
+    os.makedirs(scoped, exist_ok=True)
+    marker = os.path.join(scoped, "jit_marker-warm-entry-cache")
+    with open(marker, "w") as f:
+        f.write("x")
     code = (
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
@@ -109,6 +124,12 @@ def test_dryrun_timeboxes_slow_stage():
     assert "DONE  base" in out, out
     assert "SKIP  seq_parallel: timed out" in out, out
     assert "SKIP  pipeline: timed out" in out, out
+    assert "keeping warm cache" in out, out
+    assert "cache wipe" not in out, out
+    assert os.path.exists(marker), (
+        "optional-stage timeout must not wipe the warm cache")
+    assert not os.path.exists(os.path.join(scoped, "INFLIGHT")), (
+        "sentinel must be cleared on the keep-warm path")
 
 
 def test_dryrun_stale_sentinel_keeps_cache(tmp_path):
